@@ -1,0 +1,290 @@
+"""Single dataclass config tree for the whole framework.
+
+The reference scatters hyperparameters across four argparse CLIs, a bash
+launcher's env vars, and a ``hyperparams`` dict persisted inside checkpoints
+(/root/reference/nexar_train_distributed.py:50-110,
+/root/reference/run_nexar_training.sh:13-22,
+/root/reference/nexar_train.py:1622-1641). Here one nested dataclass tree is
+the single source of truth: the CLI parses into it, the trainer reads from it,
+and checkpoints persist it so inference can reconstruct the architecture
+(mirroring /root/reference/nexar_inference.py:55-81).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Mapping, Sequence
+
+BACKBONES = (
+    # Same menu as /root/reference/nexar_arch.py:4-15 (torchvision imports).
+    "resnet18",
+    "resnet50",
+    "mobilenet_v2",
+    "mobilenet_v3_small",
+    "efficientnet_v2_s",
+    "efficientnet_v2_m",
+    "efficientnet_v2_l",
+    "convnext_tiny",
+    "convnext_base",
+    "convnext_large",
+    # TPU-first scaled variant (BASELINE.json config 5): factorized video ViT.
+    "vivit_small",
+    "vivit_base",
+)
+
+TEMPORAL_MODES = ("attention", "conv", "pooling", "rnn", "lstm", "gru")
+
+SAMPLE_STRATEGIES = ("random", "center", "metadata_time", "uniform")
+
+
+@dataclass
+class DataConfig:
+    """Clip-loading configuration (reference: /root/reference/nexar_videos.py:39-67)."""
+
+    fps: int = 10
+    duration: int = 5  # seconds → num_frames = fps * duration
+    frame_size: int = 224  # square letterbox target
+    sample_strategy: str = "center"  # random | center | metadata_time | uniform
+    load_sensor_data: bool = False
+    sensor_dim: int = 4  # [accel_x, accel_y, accel_z, total]
+    num_classes: int = 3
+    class_names: tuple = ("Normal", "Near Collision", "Collision")
+    # Split fractions for the stratified auto-split
+    # (/root/reference/nexar_videos.py:912-924).
+    train_frac: float = 0.70
+    val_frac: float = 0.15
+    test_frac: float = 0.15
+    min_samples_per_class: int = 5  # drop classes below this (nexar_videos.py:896-908)
+    # Host loader
+    batch_size: int = 8  # per device
+    num_workers: int = 8
+    prefetch_depth: int = 2
+    drop_last_train: bool = True
+    seed: int = 42
+
+    @property
+    def num_frames(self) -> int:
+        return self.fps * self.duration
+
+
+@dataclass
+class AugmentConfig:
+    """On-device augmentation params.
+
+    Same knob surface as ``VideoAugmentation``
+    (/root/reference/nexar_video_aug.py:18-96); parameters are sampled ONCE
+    per clip for temporal consistency (reference :97-182) via per-clip PRNG
+    keys, then applied to all T frames in one fused jitted program.
+    """
+
+    enabled: bool = True
+    aug_probability: float = 0.8  # per-clip gate (reference :112-114)
+    # Color
+    brightness: float = 0.2  # factor ∈ [1-b, 1+b]
+    contrast: float = 0.2
+    saturation: float = 0.2
+    hue: float = 0.05  # shift ∈ [-hue, hue] (of 1.0 full cycle)
+    color_p: float = 0.8
+    # Geometry (affine)
+    degrees: float = 10.0
+    translate: float = 0.1  # fraction of W/H
+    scale_min: float = 0.9
+    scale_max: float = 1.1
+    shear: float = 5.0  # degrees
+    affine_p: float = 0.5
+    # Other
+    grayscale_p: float = 0.1
+    noise_std: float = 0.02
+    noise_p: float = 0.2
+    blur_p: float = 0.1
+    blur_sigma_max: float = 1.5
+    posterize_bits: int = 4
+    posterize_p: float = 0.1
+    solarize_threshold: float = 0.5
+    solarize_p: float = 0.1
+    invert_p: float = 0.05
+    # Cutout: boxes pre-generated per clip (reference :144-169)
+    cutout_p: float = 0.3
+    cutout_num_holes: int = 2
+    cutout_size: float = 0.1  # fraction of min(H, W)
+    # Flip applied at transform level (reference create_video_transforms :745-757)
+    hflip_p: float = 0.5
+    # Normalization (reference :793-801)
+    normalize_mean: tuple = (0.45, 0.45, 0.45)
+    normalize_std: tuple = (0.225, 0.225, 0.225)
+
+
+@dataclass
+class ModelConfig:
+    """Architecture config (reference: EnhancedFrameCNN, /root/reference/nexar_arch.py:250-341)."""
+
+    backbone: str = "convnext_tiny"
+    temporal_mode: str = "gru"
+    num_classes: int = 3
+    pretrained: bool = False  # load converted torchvision weights if available
+    pretrained_path: str = ""  # path to converted .npz weights
+    hidden_dim: int = 512  # classifier MLP: feat → 512 → 256 → num_classes
+    temporal_hidden_dim: int = 256  # RNN hidden size / attention dim
+    attention_heads: int = 4
+    max_seq_length: int = 30  # attention positional table (nexar_arch.py:44-47)
+    bidirectional: bool = True  # RNN heads (nexar_arch.py:235-239)
+    dropout: float = 0.5
+    frame_subsample: int = 2  # take every k-th frame when T > subsample_threshold
+    subsample_threshold: int = 10  # (nexar_arch.py:412-415: ::2 when T>10)
+    dtype: str = "bfloat16"  # compute dtype; params stay float32
+    # ViViT-specific
+    patch_size: int = 14
+    image_size: int = 224
+
+    def backbone_feature_dim(self) -> int:
+        from vision_collision_detection_tpu.models.backbones import feature_dim
+
+        return feature_dim(self.backbone)
+
+
+@dataclass
+class OptimConfig:
+    """Optimizer/schedule config (reference: nexar_train.py:902-915)."""
+
+    optimizer: str = "adamw"
+    learning_rate: float = 1e-4
+    weight_decay: float = 1e-4
+    beta1: float = 0.9
+    beta2: float = 0.999
+    # CosineAnnealingLR(T_max=30, eta_min=lr/100) equivalent; T_max in epochs.
+    schedule: str = "cosine"
+    cosine_t_max_epochs: int = 30
+    eta_min_ratio: float = 0.01
+    warmup_steps: int = 0
+    grad_clip_norm: float = 0.0  # 0 disables
+    loss_type: str = "cross_entropy"  # or "bce" (nexar_train.py:884-898)
+    label_smoothing: float = 0.0
+    use_class_weights: bool = True  # inverse-frequency (nexar_train.py:2004-2006)
+
+
+@dataclass
+class TrainConfig:
+    epochs: int = 15
+    patience: int = 5  # early-stop epochs without val-loss improvement
+    validation_freq: int = 2  # mini-validations per epoch (nexar_train.py:1204)
+    mini_val_batches: int = 25  # (nexar_train.py:1282)
+    mixed_precision: bool = True  # bf16 activations; no GradScaler needed on TPU
+    log_every_steps: int = 10
+    checkpoint_every_epochs: int = 1
+    keep_checkpoints: int = 3
+    seed: int = 42
+    resume: bool = False  # true mid-training resume (reference lacks this)
+    deterministic_data: bool = True
+
+
+@dataclass
+class MeshConfig:
+    """Device-mesh config. Reference parallelism is DP-only
+    (/root/reference/distributed_video_classifier.py:157); we keep a 2-D mesh
+    so the scaled ViViT variant can shard the model axis later."""
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    num_data: int = -1  # -1 → all devices on the data axis
+    num_model: int = 1
+
+
+@dataclass
+class ExperimentConfig:
+    """Root config."""
+
+    data: DataConfig = field(default_factory=DataConfig)
+    augment: AugmentConfig = field(default_factory=AugmentConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    # Experiment bookkeeping (reference naming: {model}_{temporal}_{timestamp},
+    # /root/reference/nexar_train.py:727).
+    experiment_name: str = ""
+    save_dir: str = "runs"
+    metadata_csv: str = ""
+    video_dirs: tuple = ()
+
+    def name(self) -> str:
+        if self.experiment_name:
+            return self.experiment_name
+        return f"{self.model.backbone}_{self.model.temporal_mode}"
+
+    # ---- serialization (the checkpoint "hyperparams contract") ----
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2, default=_json_default)
+
+    @classmethod
+    def from_dict(cls, d: Mapping[str, Any]) -> "ExperimentConfig":
+        return _dataclass_from_dict(cls, d)
+
+    @classmethod
+    def from_json(cls, s: str) -> "ExperimentConfig":
+        return cls.from_dict(json.loads(s))
+
+    def override(self, dotted: Mapping[str, Any]) -> "ExperimentConfig":
+        """Apply {'model.backbone': 'resnet18', ...} style overrides, returning a copy."""
+        cfg = self.from_dict(self.to_dict())
+        for key, value in dotted.items():
+            parts = key.split(".")
+            obj = cfg
+            for p in parts[:-1]:
+                obj = getattr(obj, p)
+            leaf = parts[-1]
+            if not hasattr(obj, leaf):
+                raise KeyError(f"Unknown config key: {key}")
+            current = getattr(obj, leaf)
+            if current is not None and not isinstance(current, (list, tuple, dict)):
+                value = type(current)(value) if value is not None else value
+            setattr(obj, leaf, value)
+        cfg.validate()
+        return cfg
+
+    def validate(self) -> None:
+        if self.model.backbone not in BACKBONES:
+            raise ValueError(
+                f"backbone {self.model.backbone!r} not in {BACKBONES}"
+            )
+        if self.model.temporal_mode not in TEMPORAL_MODES:
+            raise ValueError(
+                f"temporal_mode {self.model.temporal_mode!r} not in {TEMPORAL_MODES}"
+            )
+        if self.data.sample_strategy not in SAMPLE_STRATEGIES:
+            raise ValueError(
+                f"sample_strategy {self.data.sample_strategy!r} not in {SAMPLE_STRATEGIES}"
+            )
+        if self.data.num_classes != self.model.num_classes:
+            raise ValueError("data.num_classes must match model.num_classes")
+
+
+def _json_default(o):
+    if isinstance(o, (tuple, set)):
+        return list(o)
+    raise TypeError(f"not JSON serializable: {type(o)}")
+
+
+def _dataclass_from_dict(cls, d):
+    if not dataclasses.is_dataclass(cls):
+        return d
+    kwargs = {}
+    hints = {f.name: f for f in dataclasses.fields(cls)}
+    for key, value in dict(d).items():
+        if key not in hints:
+            continue  # forward-compat: ignore unknown keys from old checkpoints
+        f = hints[key]
+        ftype = f.type if not isinstance(f.type, str) else None
+        default = f.default_factory() if f.default_factory is not dataclasses.MISSING else f.default  # type: ignore
+        if dataclasses.is_dataclass(default):
+            kwargs[key] = _dataclass_from_dict(type(default), value)
+        elif isinstance(default, tuple) and isinstance(value, (list, tuple)):
+            kwargs[key] = tuple(value)
+        else:
+            kwargs[key] = value
+    return cls(**kwargs)
