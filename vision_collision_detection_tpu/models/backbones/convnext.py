@@ -1,0 +1,103 @@
+"""ConvNeXt tiny/base/large frame backbones (flax.linen, NHWC).
+
+The reference's default backbone family (/root/reference/nexar_arch.py:4-15;
+convnext_tiny is the CLI default at /root/reference/nexar_train_distributed.py:67).
+LayerNorm-only (no batch stats) — the most TPU/pjit-friendly of the menu, and
+the performance default here. Depthwise 7x7 convs lower to efficient XLA
+convolutions; the pointwise MLPs are MXU matmuls over the channel dim.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from vision_collision_detection_tpu.models.backbones import BACKBONE_REGISTRY
+
+
+class ConvNeXtBlock(nn.Module):
+    dim: int
+    layer_scale_init: float = 1e-6
+    drop_path_rate: float = 0.0
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        shortcut = x
+        # depthwise 7x7
+        y = nn.Conv(self.dim, (7, 7), padding=3, feature_group_count=self.dim,
+                    dtype=self.dtype, name="dwconv")(x)
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(y)
+        y = nn.Dense(4 * self.dim, dtype=self.dtype, name="pwconv1")(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(self.dim, dtype=self.dtype, name="pwconv2")(y)
+        gamma = self.param(
+            "gamma", nn.initializers.constant(self.layer_scale_init), (self.dim,)
+        )
+        y = y * gamma.astype(self.dtype)
+        if train and self.drop_path_rate > 0.0:
+            keep = 1.0 - self.drop_path_rate
+            rng = self.make_rng("dropout")
+            mask = jax.random.bernoulli(rng, keep, (y.shape[0], 1, 1, 1))
+            y = jnp.where(mask, y / keep, 0.0).astype(self.dtype)
+        return shortcut + y
+
+
+class ConvNeXt(nn.Module):
+    """Returns pooled+normed features [N, D] from NHWC images."""
+
+    depths: Sequence[int]
+    dims: Sequence[int]
+    drop_path_rate: float = 0.0
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x.astype(self.dtype)
+        # stem: 4x4 stride-4 patchify + LN
+        x = nn.Conv(self.dims[0], (4, 4), strides=(4, 4), dtype=self.dtype,
+                    name="stem_conv")(x)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="stem_norm")(x)
+
+        total_blocks = sum(self.depths)
+        block_idx = 0
+        for stage in range(len(self.depths)):
+            if stage > 0:
+                x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                                 name=f"downsample{stage}_norm")(x)
+                x = nn.Conv(self.dims[stage], (2, 2), strides=(2, 2),
+                            dtype=self.dtype, name=f"downsample{stage}_conv")(x)
+            for blk in range(self.depths[stage]):
+                dp = self.drop_path_rate * block_idx / max(total_blocks - 1, 1)
+                x = ConvNeXtBlock(
+                    dim=self.dims[stage], drop_path_rate=dp, dtype=self.dtype,
+                    name=f"stage{stage}_block{blk}",
+                )(x, train=train)
+                block_idx += 1
+
+        x = jnp.mean(x, axis=(1, 2))  # global average pool
+        x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="head_norm")(
+            x.astype(jnp.float32)
+        )
+        return x
+
+
+@BACKBONE_REGISTRY.register("convnext_tiny")
+def convnext_tiny(dtype=None, **kwargs):
+    return ConvNeXt(depths=(3, 3, 9, 3), dims=(96, 192, 384, 768),
+                    dtype=dtype or jnp.bfloat16, **kwargs)
+
+
+@BACKBONE_REGISTRY.register("convnext_base")
+def convnext_base(dtype=None, **kwargs):
+    return ConvNeXt(depths=(3, 3, 27, 3), dims=(128, 256, 512, 1024),
+                    dtype=dtype or jnp.bfloat16, **kwargs)
+
+
+@BACKBONE_REGISTRY.register("convnext_large")
+def convnext_large(dtype=None, **kwargs):
+    return ConvNeXt(depths=(3, 3, 27, 3), dims=(192, 384, 768, 1536),
+                    dtype=dtype or jnp.bfloat16, **kwargs)

@@ -1,0 +1,159 @@
+"""Temporal aggregation heads over per-frame features [B, T, D] → [B, D_out].
+
+Parity with the reference's four head families
+(/root/reference/nexar_arch.py:17,83,122,149):
+- attention: MHA + learnable positional embedding (max_seq_length table,
+  reference :44-47) then mean-pool of the attended sequence (:78).
+- conv: two temporal convolutions + norm + relu then average-pool (:98-106).
+- pooling: adaptive average pool over time (:122).
+- rnn/lstm/gru: recurrence via lax.scan (flax nn.RNN), optionally
+  bidirectional with hidden-state concat + projection (:205-239).
+
+TPU notes: attention/conv/pooling are fully parallel over T (MXU-friendly)
+and are the performance defaults; the recurrent heads are inherently serial
+over T (fine at T≈25) and exist for reference parity.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class TemporalAttention(nn.Module):
+    dim: int  # feature dim D (unchanged)
+    num_heads: int = 4
+    max_seq_length: int = 30
+    dropout: float = 0.0
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        B, T, D = x.shape
+        if T > self.max_seq_length:
+            raise ValueError(
+                f"sequence length {T} exceeds max_seq_length={self.max_seq_length}"
+            )
+        pos = self.param(
+            "pos_embedding",
+            nn.initializers.normal(stddev=0.02),
+            (self.max_seq_length, D),
+        )
+        h = x.astype(self.dtype) + pos[:T].astype(self.dtype)
+        h = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads,
+            dtype=self.dtype,
+            dropout_rate=self.dropout,
+            deterministic=not train,
+            name="mha",
+        )(h, h)
+        h = nn.LayerNorm(dtype=self.dtype, name="norm")(h + x.astype(self.dtype))
+        return jnp.mean(h, axis=1).astype(jnp.float32)
+
+    @staticmethod
+    def out_dim(dim: int, hidden: int) -> int:
+        return dim
+
+
+class TemporalConvolution(nn.Module):
+    dim: int
+    hidden: int = 256
+    kernel: int = 3
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # linen Conv over [B, T, D]: convolves T, mixes channel dim → MXU matmul.
+        h = x.astype(self.dtype)
+        h = nn.Conv(self.hidden, (self.kernel,), padding=self.kernel // 2,
+                    dtype=self.dtype, name="conv1")(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=self.dtype, name="bn1")(h)
+        h = nn.relu(h)
+        h = nn.Conv(self.hidden, (self.kernel,), padding=self.kernel // 2,
+                    dtype=self.dtype, name="conv2")(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=self.dtype, name="bn2")(h)
+        h = nn.relu(h)
+        return jnp.mean(h, axis=1).astype(jnp.float32)  # adaptive avg pool → 1
+
+    @staticmethod
+    def out_dim(dim: int, hidden: int) -> int:
+        return hidden
+
+
+class AdaptivePooling(nn.Module):
+    dim: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return jnp.mean(x, axis=1).astype(jnp.float32)
+
+    @staticmethod
+    def out_dim(dim: int, hidden: int) -> int:
+        return dim
+
+
+class TemporalRNN(nn.Module):
+    """rnn | lstm | gru over time via lax.scan; bidirectional concat + proj."""
+
+    dim: int
+    hidden: int = 256
+    cell_type: str = "gru"  # rnn | lstm | gru
+    bidirectional: bool = True
+    dtype: Any = jnp.float32  # recurrence in fp32 for stability
+
+    def _make_cell(self, name):
+        if self.cell_type == "gru":
+            return nn.GRUCell(features=self.hidden, dtype=self.dtype, name=name)
+        if self.cell_type == "lstm":
+            return nn.OptimizedLSTMCell(features=self.hidden, dtype=self.dtype,
+                                        name=name)
+        if self.cell_type == "rnn":
+            return nn.SimpleCell(features=self.hidden, dtype=self.dtype, name=name)
+        raise ValueError(f"unknown cell_type {self.cell_type!r}")
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x.astype(self.dtype)
+        fw = nn.RNN(self._make_cell("fw_cell"), name="fw")(x)  # [B, T, H]
+        last = fw[:, -1]
+        if self.bidirectional:
+            bw = nn.RNN(self._make_cell("bw_cell"), reverse=True,
+                        keep_order=True, name="bw")(x)
+            last = jnp.concatenate([last, bw[:, 0]], axis=-1)
+        out = nn.Dense(self.hidden, dtype=self.dtype, name="proj")(last)
+        return nn.relu(out).astype(jnp.float32)
+
+    @staticmethod
+    def out_dim(dim: int, hidden: int) -> int:
+        return hidden
+
+
+def build_temporal_head(mode: str, dim: int, *, hidden: int = 256,
+                        num_heads: int = 4, max_seq_length: int = 30,
+                        bidirectional: bool = True, dropout: float = 0.0,
+                        dtype=jnp.bfloat16, name: str = "temporal"):
+    if mode == "attention":
+        return TemporalAttention(dim=dim, num_heads=num_heads,
+                                 max_seq_length=max_seq_length,
+                                 dropout=dropout, dtype=dtype, name=name)
+    if mode == "conv":
+        return TemporalConvolution(dim=dim, hidden=hidden, dtype=dtype, name=name)
+    if mode == "pooling":
+        return AdaptivePooling(dim=dim, dtype=dtype, name=name)
+    if mode in ("rnn", "lstm", "gru"):
+        return TemporalRNN(dim=dim, hidden=hidden, cell_type=mode,
+                           bidirectional=bidirectional, name=name)
+    raise ValueError(f"unknown temporal mode {mode!r}")
+
+
+def temporal_out_dim(mode: str, dim: int, hidden: int) -> int:
+    if mode in ("attention", "pooling"):
+        return dim
+    if mode in ("conv", "rnn", "lstm", "gru"):
+        return hidden
+    raise ValueError(f"unknown temporal mode {mode!r}")
