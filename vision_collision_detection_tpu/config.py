@@ -73,44 +73,42 @@ class DataConfig:
 class AugmentConfig:
     """On-device augmentation params.
 
-    Same knob surface as ``VideoAugmentation``
-    (/root/reference/nexar_video_aug.py:18-96); parameters are sampled ONCE
-    per clip for temporal consistency (reference :97-182) via per-clip PRNG
-    keys, then applied to all T frames in one fused jitted program.
+    Same knob surface (ranges + probabilities) as ``VideoAugmentation`` /
+    ``create_video_transforms`` (/root/reference/nexar_video_aug.py:18-96,
+    636-700); parameters are sampled ONCE per clip for temporal consistency
+    (reference :97-182) via per-clip PRNG keys, then applied to all T frames
+    in one fused jitted program. Defaults mirror the production-tuned recipe
+    at /root/reference/nexar_complete_with_validation.py:1208-1225.
     """
 
     enabled: bool = True
-    aug_probability: float = 0.8  # per-clip gate (reference :112-114)
-    # Color
-    brightness: float = 0.2  # factor ∈ [1-b, 1+b]
-    contrast: float = 0.2
-    saturation: float = 0.2
-    hue: float = 0.05  # shift ∈ [-hue, hue] (of 1.0 full cycle)
-    color_p: float = 0.8
-    # Geometry (affine)
-    degrees: float = 10.0
-    translate: float = 0.1  # fraction of W/H
-    scale_min: float = 0.9
-    scale_max: float = 1.1
-    shear: float = 5.0  # degrees
-    affine_p: float = 0.5
-    # Other
-    grayscale_p: float = 0.1
-    noise_std: float = 0.02
-    noise_p: float = 0.2
-    blur_p: float = 0.1
-    blur_sigma_max: float = 1.5
-    posterize_bits: int = 4
-    posterize_p: float = 0.1
-    solarize_threshold: float = 0.5
-    solarize_p: float = 0.1
-    invert_p: float = 0.05
-    # Cutout: boxes pre-generated per clip (reference :144-169)
-    cutout_p: float = 0.3
-    cutout_num_holes: int = 2
-    cutout_size: float = 0.1  # fraction of min(H, W)
+    aug_probability: float = 0.9  # per-clip skip gate (reference :112-114)
+    # Color (factor ranges)
+    brightness_range: tuple = (0.9, 1.1)
+    contrast_range: tuple = (0.9, 1.1)
+    saturation_range: tuple = (0.9, 1.1)
+    hue_range: tuple = (-0.05, 0.05)  # absolute shift, -0.5..0.5 of full cycle
+    # Geometry (affine; sampled per clip, same warp for all frames)
+    rotation_range: tuple = (-7.0, 7.0)  # degrees
+    scale_range: tuple = (0.95, 1.1)
+    shear_range: tuple = (-2.0, 2.0)  # degrees (x-shear)
+    translate_range: tuple = (0.0, 0.07)  # fraction of W/H; sign randomized
+    # Special effects
+    grayscale_prob: float = 0.02
+    noise_level: float = 0.0  # gaussian std; 0 disables (unconditional if >0)
+    blur_sigma: float = 0.5  # 0 disables (unconditional if >0); static kernel
+    # Cutout (boxes pre-generated per clip, reference :144-169)
+    cutout_prob: float = 0.1
+    cutout_count_range: tuple = (1, 2)
+    cutout_size_range: tuple = (0.1, 0.15)  # fraction of H/W
+    # Extreme effects
+    color_inversion_prob: float = 0.0
+    solarization_prob: float = 0.0
+    solarization_threshold: float = 0.5
+    posterization_prob: float = 0.0
+    posterization_bits_range: tuple = (3, 6)
     # Flip applied at transform level (reference create_video_transforms :745-757)
-    hflip_p: float = 0.5
+    horizontal_flip_prob: float = 0.5
     # Normalization (reference :793-801)
     normalize_mean: tuple = (0.45, 0.45, 0.45)
     normalize_std: tuple = (0.225, 0.225, 0.225)

@@ -1,0 +1,65 @@
+"""End-to-end device preprocessing: uint8 decode output → model-ready bf16.
+
+Replaces the reference's per-frame CPU transform stack
+(/root/reference/nexar_video_aug.py:804-822 wrapper: /255 → letterbox →
+hflip → VideoAugmentation → normalize) with ONE jitted program per mode.
+uint8 crosses the host→device boundary (4× less PCIe/HBM traffic than
+fp32); everything after is fused on-device.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from vision_collision_detection_tpu.config import AugmentConfig
+from vision_collision_detection_tpu.ops.augment import augment_batch
+from vision_collision_detection_tpu.ops.letterbox import letterbox_resize
+
+
+def normalize_video(x: jax.Array, mean, std) -> jax.Array:
+    mean = jnp.asarray(mean, dtype=x.dtype)
+    std = jnp.asarray(std, dtype=x.dtype)
+    return (x - mean) / std
+
+
+def make_train_preprocess(cfg: AugmentConfig, target_size: int,
+                          out_dtype=jnp.bfloat16):
+    """jitted (key, uint8 [B,T,H,W,C]) → normalized [B,T,S,S,C] out_dtype."""
+
+    @jax.jit
+    def fn(key, frames_u8):
+        x = frames_u8.astype(jnp.float32) / 255.0
+        x = letterbox_resize(x, target_size)
+        b = x.shape[0]
+        k_flip, k_aug = jax.random.split(key)
+        if cfg.horizontal_flip_prob > 0:
+            flip = jax.random.bernoulli(
+                k_flip, cfg.horizontal_flip_prob, (b, 1, 1, 1, 1)
+            )
+            x = jnp.where(flip, x[:, :, :, ::-1, :], x)
+        if cfg.enabled:
+            x = augment_batch(k_aug, x, cfg)
+        x = normalize_video(x, cfg.normalize_mean, cfg.normalize_std)
+        return x.astype(out_dtype)
+
+    return fn
+
+
+def make_eval_preprocess(cfg: AugmentConfig, target_size: int,
+                         out_dtype=jnp.bfloat16):
+    """jitted (uint8 [B,T,H,W,C]) → normalized [B,T,S,S,C] out_dtype.
+
+    Mirrors the reference's val transform (mode='val': letterbox + normalize
+    only, /root/reference/nexar_video_aug.py:636-700 with
+    enable_custom_augmentation=False).
+    """
+
+    @jax.jit
+    def fn(frames_u8):
+        x = frames_u8.astype(jnp.float32) / 255.0
+        x = letterbox_resize(x, target_size)
+        x = normalize_video(x, cfg.normalize_mean, cfg.normalize_std)
+        return x.astype(out_dtype)
+
+    return fn
