@@ -1,0 +1,168 @@
+"""Media layer tests: C++ decode/probe/encode, sampling, sensors, fixtures."""
+
+import os
+
+import numpy as np
+import pytest
+
+from vision_collision_detection_tpu.media import (
+    decode_frames,
+    encode_video,
+    load_synced_sensor,
+    peak_acceleration_time,
+    probe,
+    sample_clip_indices,
+)
+from vision_collision_detection_tpu.media.decoder import MediaError
+from vision_collision_detection_tpu.media.synthetic import generate_dataset
+
+
+@pytest.fixture(scope="module")
+def ramp_video(tmp_path_factory):
+    """50-frame 10fps video whose red channel encodes the frame index."""
+    path = str(tmp_path_factory.mktemp("media") / "ramp.mp4")
+    n, h, w = 50, 120, 160
+    frames = np.zeros((n, h, w, 3), np.uint8)
+    for i in range(n):
+        frames[i, :, :, 0] = int(i * 255 / (n - 1))
+    encode_video(path, frames, fps=10)
+    return path, n, h, w
+
+
+class TestDecoder:
+    def test_probe(self, ramp_video):
+        path, n, h, w = ramp_video
+        info = probe(path)
+        assert (info.width, info.height) == (w, h)
+        assert info.fps == pytest.approx(10.0)
+        assert info.num_frames == n
+        assert info.duration == pytest.approx(5.0)
+
+    def test_sequential_decode_accuracy(self, ramp_video):
+        path, n, h, w = ramp_video
+        idx = list(range(0, n, 5))
+        dec = decode_frames(path, idx)
+        assert dec.shape == (len(idx), h, w, 3)
+        for k, i in enumerate(idx):
+            expected = i * 255 / (n - 1)
+            assert abs(int(dec[k, 60, 80, 0]) - expected) < 12  # lossy codec
+
+    def test_random_access_seek(self, ramp_video):
+        path, n, _, _ = ramp_video
+        dec = decode_frames(path, [30, 37, 44])
+        for k, i in enumerate([30, 37, 44]):
+            assert abs(int(dec[k, 60, 80, 0]) - i * 255 / (n - 1)) < 12
+
+    def test_letterbox_decode(self, ramp_video):
+        path, n, h, w = ramp_video
+        out = decode_frames(path, [0, 10], target_size=64)
+        assert out.shape == (2, 64, 64, 3)
+        # 120x160 → content 48x64, pads (64-48)//2 = 8 top/bottom
+        assert out[:, :8].max() == 0 and out[:, -8:].max() == 0
+
+    def test_eof_padding(self, ramp_video):
+        path, n, _, _ = ramp_video
+        out = decode_frames(path, [45, 48, 60, 70])
+        np.testing.assert_array_equal(out[1], out[2])
+        np.testing.assert_array_equal(out[2], out[3])
+
+    def test_missing_file_raises(self):
+        with pytest.raises(MediaError):
+            decode_frames("/nonexistent/clip.mp4", [0, 1])
+
+    def test_unsorted_indices_rejected(self, ramp_video):
+        path, *_ = ramp_video
+        with pytest.raises(MediaError):
+            decode_frames(path, [5, 3, 1])
+
+
+class TestSampler:
+    def test_center(self):
+        idx = sample_clip_indices("center", 150, 50)
+        assert idx[0] == 150 // 2 - 25 and len(idx) == 50
+        # short video: start at 0, runs past EOF (decoder pads)
+        idx = sample_clip_indices("center", 30, 50)
+        assert idx[0] == 0 and idx[-1] == 49
+
+    def test_metadata_time(self):
+        idx = sample_clip_indices(
+            "metadata_time", 300, 50, video_fps=30.0, event_time_sec=5.0
+        )
+        assert idx[0] == 150 - 25
+        # event near end clamps to fit
+        idx = sample_clip_indices(
+            "metadata_time", 300, 50, video_fps=30.0, event_time_sec=9.9
+        )
+        assert idx[0] == 250
+        # no fps → random fallback stays in range
+        idx = sample_clip_indices(
+            "metadata_time", 100, 50, rng=np.random.default_rng(0)
+        )
+        assert 0 <= idx[0] <= 50
+
+    def test_random_bounds(self):
+        rng = np.random.default_rng(1)
+        for _ in range(20):
+            idx = sample_clip_indices("random", 80, 50, rng=rng)
+            assert 0 <= idx[0] <= 30 and len(idx) == 50
+
+    def test_uniform(self):
+        idx = sample_clip_indices("uniform", 200, 50)
+        assert idx[0] == 0 and idx[-1] == 199 and len(idx) == 50
+        assert (np.diff(idx) >= 0).all()
+
+
+class TestSensors:
+    def test_sync_and_peak(self, tmp_path):
+        import pandas as pd
+
+        t = np.arange(0, 5, 0.02)  # 50 Hz
+        ax = np.sin(t)
+        ay = np.zeros_like(t)
+        az = np.ones_like(t)
+        az[100] = 5.0  # peak at t=2.0
+        df = pd.DataFrame({
+            "time_sec": t + 1000.0,  # absolute start time
+            "accel_x_G": ax, "accel_y_G": ay, "accel_z_G": az,
+        })
+        path = str(tmp_path / "sensor.csv")
+        df.to_csv(path, index=True)
+
+        peak_t, peak_g = peak_acceleration_time(path)
+        assert peak_t == pytest.approx(1002.0)
+        synced = load_synced_sensor(path, video_fps=10.0, frame_count=50)
+        assert synced.shape == (50, 4)
+        # frame 20 is t=2.0 where the spike lives
+        assert synced[20, 2] == pytest.approx(5.0, abs=0.2)
+        np.testing.assert_allclose(
+            synced[:, 0], np.sin(np.arange(50) / 10.0), atol=0.01
+        )
+
+    def test_missing_returns_zeros(self):
+        z = load_synced_sensor("/nope.csv", 10.0, 50)
+        assert z.shape == (50, 4) and z.sum() == 0
+        assert load_synced_sensor(None, 10.0, 50).sum() == 0
+
+
+class TestSynthetic:
+    def test_generate(self, tmp_path):
+        csv = generate_dataset(
+            str(tmp_path), clips_per_class=2, num_frames=20, height=48,
+            width=64, splits=("train", "val"),
+        )
+        import pandas as pd
+
+        df = pd.read_csv(csv)
+        assert len(df) == 6
+        assert set(df["video_type"]) == {"Normal", "Near Collision", "Collision"}
+        assert set(df["split"]) == {"train", "val"}
+        for _, row in df.iterrows():
+            assert os.path.exists(row["video_path"])
+            info = probe(row["video_path"])
+            assert info.num_frames == 20
+            dec = decode_frames(row["video_path"], [0, 10], target_size=32)
+            assert dec.shape == (2, 32, 32, 3)
+        # collision clips have the accel spike
+        collision = df[df["video_type"] == "Collision"].iloc[0]
+        _, peak_g = peak_acceleration_time(collision["sensor_path"])
+        assert peak_g > 2.0

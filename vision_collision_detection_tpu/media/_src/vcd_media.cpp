@@ -1,0 +1,406 @@
+// First-party video decode / probe / encode library (FFmpeg 5.x, C ABI).
+//
+// Replaces the reference's third-party native decode surfaces — decord
+// (random-access MP4 reader, /root/reference/nexar_videos.py:360,422) and
+// OpenCV metadata probing (/root/reference/nexar_videos.py:315-318,375-377)
+// — with one in-repo C++ library consumed from Python via ctypes:
+//
+//   vcd_probe(path)                 -> width/height/fps/frames/duration
+//   vcd_decode(path, indices, ...)  -> RGB24 frames, optionally scaled or
+//                                      letterboxed on the host (swscale) so
+//                                      fixed-shape uint8 batches go straight
+//                                      to the TPU.
+//   vcd_encode(path, frames, ...)   -> MP4 writer (synthetic test fixtures +
+//                                      preview export, replacing the
+//                                      reference's imageio/ffmpeg use at
+//                                      /root/reference/nexar_videos.py:684).
+//
+// Decode strategy: indices must be ascending. Seek once to the keyframe at or
+// before the first wanted frame, then decode forward, converting exactly the
+// wanted frames. Frame numbering derives from pts via the stream time base
+// and average frame rate (display order; libav reorders B-frames for us).
+//
+// Build: see ../build.py (g++ -O3 -shared, links avformat/avcodec/avutil/swscale).
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libavutil/imgutils.h>
+#include <libavutil/opt.h>
+#include <libswscale/swscale.h>
+}
+
+#include <algorithm>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <vector>
+
+static thread_local std::string g_last_error;
+
+static void set_error(const std::string& msg) { g_last_error = msg; }
+
+static std::string av_err(int code) {
+  char buf[AV_ERROR_MAX_STRING_SIZE] = {0};
+  av_strerror(code, buf, sizeof(buf));
+  return std::string(buf);
+}
+
+extern "C" {
+
+typedef struct {
+  int width;
+  int height;
+  double fps;
+  long num_frames;
+  double duration;  // seconds
+} VcdProbe;
+
+const char* vcd_last_error() { return g_last_error.c_str(); }
+
+// ---------------------------------------------------------------------------
+// Internal: open a demuxer + decoder for the best video stream.
+// ---------------------------------------------------------------------------
+namespace {
+
+struct Reader {
+  AVFormatContext* fmt = nullptr;
+  AVCodecContext* dec = nullptr;
+  int stream_index = -1;
+  AVStream* stream = nullptr;
+  double fps = 0.0;
+
+  ~Reader() {
+    if (dec) avcodec_free_context(&dec);
+    if (fmt) avformat_close_input(&fmt);
+  }
+
+  bool open(const char* path) {
+    int ret = avformat_open_input(&fmt, path, nullptr, nullptr);
+    if (ret < 0) {
+      set_error("open_input failed for '" + std::string(path) + "': " + av_err(ret));
+      return false;
+    }
+    ret = avformat_find_stream_info(fmt, nullptr);
+    if (ret < 0) {
+      set_error("find_stream_info failed: " + av_err(ret));
+      return false;
+    }
+    const AVCodec* codec = nullptr;
+    stream_index = av_find_best_stream(fmt, AVMEDIA_TYPE_VIDEO, -1, -1, &codec, 0);
+    if (stream_index < 0 || !codec) {
+      set_error("no video stream found");
+      return false;
+    }
+    stream = fmt->streams[stream_index];
+    dec = avcodec_alloc_context3(codec);
+    if (!dec) {
+      set_error("alloc codec context failed");
+      return false;
+    }
+    if ((ret = avcodec_parameters_to_context(dec, stream->codecpar)) < 0) {
+      set_error("parameters_to_context failed: " + av_err(ret));
+      return false;
+    }
+    dec->thread_count = 0;  // auto frame/slice threading
+    if ((ret = avcodec_open2(dec, codec, nullptr)) < 0) {
+      set_error("codec open failed: " + av_err(ret));
+      return false;
+    }
+    AVRational r = stream->avg_frame_rate.num ? stream->avg_frame_rate
+                                              : stream->r_frame_rate;
+    fps = r.den ? av_q2d(r) : 0.0;
+    return true;
+  }
+
+  long frame_index_of(int64_t pts) const {
+    int64_t start = stream->start_time == AV_NOPTS_VALUE ? 0 : stream->start_time;
+    double t = (pts - start) * av_q2d(stream->time_base);
+    return (long)llround(t * fps);
+  }
+
+  int64_t pts_of_frame(long idx) const {
+    int64_t start = stream->start_time == AV_NOPTS_VALUE ? 0 : stream->start_time;
+    double t = idx / fps;
+    return start + (int64_t)llround(t / av_q2d(stream->time_base));
+  }
+
+  long estimated_frames() const {
+    if (stream->nb_frames > 0) return (long)stream->nb_frames;
+    double dur = 0.0;
+    if (stream->duration != AV_NOPTS_VALUE)
+      dur = stream->duration * av_q2d(stream->time_base);
+    else if (fmt->duration != AV_NOPTS_VALUE)
+      dur = fmt->duration / (double)AV_TIME_BASE;
+    return (long)(dur * fps + 0.5);
+  }
+};
+
+// Reference letterbox arithmetic (/root/reference/nexar_video_aug.py:713-719):
+// double-precision scale, int-floor new dims, centered // 2 padding.
+void letterbox_geometry(int h, int w, int target, int* new_h, int* new_w,
+                        int* pad_h, int* pad_w) {
+  double scale = std::min((double)target / h, (double)target / w);
+  *new_h = (int)(h * scale);
+  *new_w = (int)(w * scale);
+  *pad_h = (target - *new_h) / 2;
+  *pad_w = (target - *new_w) / 2;
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// Probe
+// ---------------------------------------------------------------------------
+int vcd_probe(const char* path, VcdProbe* out) {
+  Reader r;
+  if (!r.open(path)) return -1;
+  out->width = r.dec->width;
+  out->height = r.dec->height;
+  out->fps = r.fps;
+  out->num_frames = r.estimated_frames();
+  out->duration = r.fps > 0 ? out->num_frames / r.fps : 0.0;
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Decode
+//
+// indices: ascending frame numbers (display order).
+// target_w/target_h: output size; 0 means native size.
+// letterbox: if nonzero, aspect-preserving scale into a square
+//            target_h x target_w canvas with centered black padding
+//            (target_w must equal target_h).
+// out: caller buffer of n_indices * out_h * out_w * 3 bytes.
+// Returns number of frames written (frames past EOF are left for the caller
+// to pad), or -1 on error.
+// ---------------------------------------------------------------------------
+long vcd_decode(const char* path, const long* indices, long n_indices,
+                int target_w, int target_h, int letterbox,
+                unsigned char* out) {
+  if (n_indices <= 0) return 0;
+  for (long i = 1; i < n_indices; i++) {
+    if (indices[i] < indices[i - 1]) {
+      set_error("indices must be ascending");
+      return -1;
+    }
+  }
+  Reader r;
+  if (!r.open(path)) return -1;
+  if (r.fps <= 0) {
+    set_error("stream has no frame rate");
+    return -1;
+  }
+
+  const int src_w = r.dec->width, src_h = r.dec->height;
+  const int out_w = target_w > 0 ? target_w : src_w;
+  const int out_h = target_h > 0 ? target_h : src_h;
+  int sc_w = out_w, sc_h = out_h, pad_h = 0, pad_w = 0;
+  if (letterbox) {
+    if (out_w != out_h) {
+      set_error("letterbox requires square target");
+      return -1;
+    }
+    letterbox_geometry(src_h, src_w, out_w, &sc_h, &sc_w, &pad_h, &pad_w);
+  }
+
+  // SWS_AREA approximates the antialiased downscale the reference gets from
+  // torchvision F.resize(antialias=True); bilinear for upscales.
+  int sws_flags = (sc_w < src_w || sc_h < src_h) ? SWS_AREA : SWS_BILINEAR;
+  SwsContext* sws = sws_getContext(src_w, src_h, r.dec->pix_fmt, sc_w, sc_h,
+                                   AV_PIX_FMT_RGB24, sws_flags, nullptr,
+                                   nullptr, nullptr);
+  if (!sws) {
+    set_error("sws_getContext failed");
+    return -1;
+  }
+
+  const size_t frame_bytes = (size_t)out_h * out_w * 3;
+  std::vector<unsigned char> scaled((size_t)sc_h * sc_w * 3);
+
+  // Seek to the keyframe at/before the first wanted frame.
+  int64_t first_pts = r.pts_of_frame(indices[0]);
+  int ret = av_seek_frame(r.fmt, r.stream_index, first_pts, AVSEEK_FLAG_BACKWARD);
+  if (ret < 0) {
+    // Fall back to decoding from the start (some fixtures aren't seekable).
+    av_seek_frame(r.fmt, r.stream_index, 0,
+                  AVSEEK_FLAG_BACKWARD | AVSEEK_FLAG_BYTE);
+  }
+  avcodec_flush_buffers(r.dec);
+
+  AVPacket* pkt = av_packet_alloc();
+  AVFrame* frame = av_frame_alloc();
+  long want_pos = 0;  // next position in indices[] to fill
+  bool eof = false;
+
+  auto convert_and_store = [&](AVFrame* f, long out_slot) {
+    unsigned char* dst_frame = out + (size_t)out_slot * frame_bytes;
+    if (letterbox) {
+      std::memset(dst_frame, 0, frame_bytes);
+      uint8_t* dst_data[1] = {scaled.data()};
+      int dst_linesize[1] = {sc_w * 3};
+      sws_scale(sws, f->data, f->linesize, 0, src_h, dst_data, dst_linesize);
+      for (int row = 0; row < sc_h; row++) {
+        std::memcpy(dst_frame + ((size_t)(pad_h + row) * out_w + pad_w) * 3,
+                    scaled.data() + (size_t)row * sc_w * 3, (size_t)sc_w * 3);
+      }
+    } else {
+      uint8_t* dst_data[1] = {dst_frame};
+      int dst_linesize[1] = {out_w * 3};
+      sws_scale(sws, f->data, f->linesize, 0, src_h, dst_data, dst_linesize);
+    }
+  };
+
+  while (want_pos < n_indices && !eof) {
+    ret = av_read_frame(r.fmt, pkt);
+    if (ret == AVERROR_EOF) {
+      avcodec_send_packet(r.dec, nullptr);  // flush decoder
+      eof = true;
+    } else if (ret < 0) {
+      set_error("read_frame failed: " + av_err(ret));
+      break;
+    } else if (pkt->stream_index != r.stream_index) {
+      av_packet_unref(pkt);
+      continue;
+    } else {
+      avcodec_send_packet(r.dec, pkt);
+      av_packet_unref(pkt);
+    }
+
+    while (want_pos < n_indices) {
+      ret = avcodec_receive_frame(r.dec, frame);
+      if (ret == AVERROR(EAGAIN)) break;
+      if (ret == AVERROR_EOF) { eof = true; break; }
+      if (ret < 0) {
+        set_error("receive_frame failed: " + av_err(ret));
+        eof = true;
+        break;
+      }
+      int64_t pts = frame->best_effort_timestamp != AV_NOPTS_VALUE
+                        ? frame->best_effort_timestamp
+                        : frame->pts;
+      long fidx = r.frame_index_of(pts);
+      while (want_pos < n_indices && indices[want_pos] <= fidx) {
+        // `<=` also catches wanted frames the seek jumped past.
+        convert_and_store(frame, want_pos);
+        want_pos++;
+      }
+      av_frame_unref(frame);
+    }
+  }
+
+  av_frame_free(&frame);
+  av_packet_free(&pkt);
+  sws_freeContext(sws);
+  return want_pos;
+}
+
+// ---------------------------------------------------------------------------
+// Encode: RGB24 frames -> MP4 (native mpeg4 encoder; no external x264 dep).
+// frames: n * h * w * 3 bytes. Returns 0 on success.
+// ---------------------------------------------------------------------------
+int vcd_encode(const char* path, const unsigned char* frames, long n, int w,
+               int h, double fps) {
+  if (w % 2 || h % 2) {
+    set_error("encode requires even dimensions (yuv420p)");
+    return -1;
+  }
+  AVFormatContext* fmt = nullptr;
+  int ret = avformat_alloc_output_context2(&fmt, nullptr, nullptr, path);
+  if (ret < 0 || !fmt) {
+    set_error("alloc_output_context failed: " + av_err(ret));
+    return -1;
+  }
+  const AVCodec* codec = avcodec_find_encoder(AV_CODEC_ID_MPEG4);
+  if (!codec) {
+    set_error("mpeg4 encoder unavailable");
+    avformat_free_context(fmt);
+    return -1;
+  }
+  AVStream* stream = avformat_new_stream(fmt, nullptr);
+  AVCodecContext* enc = avcodec_alloc_context3(codec);
+  enc->width = w;
+  enc->height = h;
+  enc->pix_fmt = AV_PIX_FMT_YUV420P;
+  AVRational fr = av_d2q(fps, 1000000);
+  enc->time_base = av_inv_q(fr);
+  enc->framerate = fr;
+  enc->bit_rate = (int64_t)w * h * 8;  // generous for synthetic content
+  enc->gop_size = 12;                  // frequent keyframes → cheap seeks
+  if (fmt->oformat->flags & AVFMT_GLOBALHEADER)
+    enc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+
+  auto fail = [&](const std::string& msg) {
+    set_error(msg);
+    avcodec_free_context(&enc);
+    if (fmt && !(fmt->oformat->flags & AVFMT_NOFILE) && fmt->pb)
+      avio_closep(&fmt->pb);
+    avformat_free_context(fmt);
+    return -1;
+  };
+
+  if ((ret = avcodec_open2(enc, codec, nullptr)) < 0)
+    return fail("encoder open failed: " + av_err(ret));
+  avcodec_parameters_from_context(stream->codecpar, enc);
+  stream->time_base = enc->time_base;
+  stream->avg_frame_rate = fr;
+
+  if (!(fmt->oformat->flags & AVFMT_NOFILE)) {
+    if ((ret = avio_open(&fmt->pb, path, AVIO_FLAG_WRITE)) < 0)
+      return fail("avio_open failed: " + av_err(ret));
+  }
+  if ((ret = avformat_write_header(fmt, nullptr)) < 0)
+    return fail("write_header failed: " + av_err(ret));
+
+  SwsContext* sws = sws_getContext(w, h, AV_PIX_FMT_RGB24, w, h,
+                                   AV_PIX_FMT_YUV420P, SWS_BILINEAR, nullptr,
+                                   nullptr, nullptr);
+  AVFrame* yuv = av_frame_alloc();
+  yuv->format = AV_PIX_FMT_YUV420P;
+  yuv->width = w;
+  yuv->height = h;
+  av_frame_get_buffer(yuv, 0);
+  AVPacket* pkt = av_packet_alloc();
+
+  auto drain = [&]() {
+    while (true) {
+      int r2 = avcodec_receive_packet(enc, pkt);
+      if (r2 == AVERROR(EAGAIN) || r2 == AVERROR_EOF) break;
+      if (r2 < 0) return false;
+      av_packet_rescale_ts(pkt, enc->time_base, stream->time_base);
+      pkt->stream_index = stream->index;
+      av_interleaved_write_frame(fmt, pkt);
+      av_packet_unref(pkt);
+    }
+    return true;
+  };
+
+  int rc = 0;
+  for (long i = 0; i < n; i++) {
+    av_frame_make_writable(yuv);
+    const uint8_t* src_data[1] = {frames + (size_t)i * h * w * 3};
+    int src_linesize[1] = {w * 3};
+    sws_scale(sws, src_data, src_linesize, 0, h, yuv->data, yuv->linesize);
+    yuv->pts = i;  // one tick per frame (time_base == 1/fps)
+    if (avcodec_send_frame(enc, yuv) < 0 || !drain()) {
+      set_error("encode failed at frame " + std::to_string(i));
+      rc = -1;
+      break;
+    }
+  }
+  if (rc == 0) {
+    avcodec_send_frame(enc, nullptr);
+    drain();
+    av_write_trailer(fmt);
+  }
+
+  av_packet_free(&pkt);
+  av_frame_free(&yuv);
+  sws_freeContext(sws);
+  avcodec_free_context(&enc);
+  if (!(fmt->oformat->flags & AVFMT_NOFILE) && fmt->pb) avio_closep(&fmt->pb);
+  avformat_free_context(fmt);
+  return rc;
+}
+
+}  // extern "C"

@@ -1,0 +1,54 @@
+"""Build libvcd_media.so (the first-party FFmpeg decode/probe/encode library).
+
+Usage:  python -m vision_collision_detection_tpu.media.build
+The decoder bindings also auto-build on first import if the .so is missing
+or older than the source.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+_SRC_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_src")
+SOURCE = os.path.join(_SRC_DIR, "vcd_media.cpp")
+LIBRARY = os.path.join(_SRC_DIR, "libvcd_media.so")
+
+_INCLUDE_DIRS = ["/usr/include/x86_64-linux-gnu"]
+_LIBS = ["avformat", "avcodec", "avutil", "swscale"]
+
+
+def needs_build() -> bool:
+    if not os.path.exists(LIBRARY):
+        return True
+    return os.path.getmtime(SOURCE) > os.path.getmtime(LIBRARY)
+
+
+def build(verbose: bool = False) -> str:
+    cmd = (
+        ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-Wall"]
+        + [f"-I{d}" for d in _INCLUDE_DIRS]
+        + [SOURCE, "-o", LIBRARY]
+        + [f"-l{l}" for l in _LIBS]
+    )
+    if verbose:
+        print(" ".join(cmd))
+    proc = subprocess.run(cmd, capture_output=True, text=True)
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"libvcd_media build failed:\n{proc.stdout}\n{proc.stderr}"
+        )
+    return LIBRARY
+
+
+def ensure_built() -> str:
+    if needs_build():
+        build()
+    return LIBRARY
+
+
+if __name__ == "__main__":
+    path = build(verbose=True)
+    print(f"built {path}")
+    sys.exit(0)

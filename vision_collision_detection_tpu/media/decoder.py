@@ -1,0 +1,162 @@
+"""ctypes bindings for libvcd_media: probe / random-access decode / encode.
+
+Python-level replacement for the reference's decord.VideoReader +
+cv2.VideoCapture surface (/root/reference/nexar_videos.py:315-318,360,422):
+
+    probe(path)                          → VideoInfo
+    decode_frames(path, indices, ...)    → uint8 [N, H, W, 3], EOF-padded with
+                                           the last decoded frame (the
+                                           reference's pad-with-last-frame
+                                           policy, nexar_videos.py:429-435)
+    encode_video(path, frames, fps)      → MP4 writer
+
+ctypes calls release the GIL, so a Python thread pool gets true parallel
+decode (see media.loader).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import dataclasses
+import threading
+from typing import Optional, Sequence
+
+import numpy as np
+
+from vision_collision_detection_tpu.media.build import ensure_built
+
+
+class _Probe(ctypes.Structure):
+    _fields_ = [
+        ("width", ctypes.c_int),
+        ("height", ctypes.c_int),
+        ("fps", ctypes.c_double),
+        ("num_frames", ctypes.c_long),
+        ("duration", ctypes.c_double),
+    ]
+
+
+_lib = None
+_lib_lock = threading.Lock()
+
+
+def _get_lib():
+    global _lib
+    if _lib is None:
+        with _lib_lock:
+            if _lib is None:
+                lib = ctypes.CDLL(ensure_built())
+                lib.vcd_probe.argtypes = [ctypes.c_char_p, ctypes.POINTER(_Probe)]
+                lib.vcd_probe.restype = ctypes.c_int
+                lib.vcd_decode.argtypes = [
+                    ctypes.c_char_p,
+                    ctypes.POINTER(ctypes.c_long),
+                    ctypes.c_long,
+                    ctypes.c_int,
+                    ctypes.c_int,
+                    ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_ubyte),
+                ]
+                lib.vcd_decode.restype = ctypes.c_long
+                lib.vcd_encode.argtypes = [
+                    ctypes.c_char_p,
+                    ctypes.POINTER(ctypes.c_ubyte),
+                    ctypes.c_long,
+                    ctypes.c_int,
+                    ctypes.c_int,
+                    ctypes.c_double,
+                ]
+                lib.vcd_encode.restype = ctypes.c_int
+                lib.vcd_last_error.restype = ctypes.c_char_p
+                _lib = lib
+    return _lib
+
+
+class MediaError(RuntimeError):
+    pass
+
+
+def _last_error() -> str:
+    return _get_lib().vcd_last_error().decode(errors="replace")
+
+
+@dataclasses.dataclass(frozen=True)
+class VideoInfo:
+    width: int
+    height: int
+    fps: float
+    num_frames: int
+    duration: float
+
+
+def probe(path: str) -> VideoInfo:
+    lib = _get_lib()
+    info = _Probe()
+    if lib.vcd_probe(path.encode(), ctypes.byref(info)) != 0:
+        raise MediaError(f"probe failed: {_last_error()}")
+    return VideoInfo(
+        width=info.width, height=info.height, fps=info.fps,
+        num_frames=int(info.num_frames), duration=info.duration,
+    )
+
+
+def decode_frames(
+    path: str,
+    indices: Sequence[int],
+    target_size: Optional[int] = None,
+    letterbox: bool = True,
+    pad_to_count: bool = True,
+) -> np.ndarray:
+    """Decode `indices` (ascending) → uint8 [len(indices), H, W, 3].
+
+    With target_size set and letterbox=True, frames come back already
+    letterboxed to target_size² on the host (swscale), so the device sees
+    fixed shapes. Frames past EOF are padded with the last decoded frame;
+    raises MediaError if nothing decodes.
+    """
+    lib = _get_lib()
+    idx = np.ascontiguousarray(np.asarray(indices, dtype=np.int64))
+    n = len(idx)
+    if n == 0:
+        raise ValueError("empty indices")
+    if target_size is not None:
+        h = w = int(target_size)
+    else:
+        info = probe(path)
+        h, w = info.height, info.width
+        letterbox = False
+    out = np.empty((n, h, w, 3), dtype=np.uint8)
+    got = lib.vcd_decode(
+        path.encode(),
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        n,
+        w if target_size is not None else 0,
+        h if target_size is not None else 0,
+        1 if letterbox else 0,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+    )
+    if got < 0:
+        raise MediaError(f"decode failed for {path}: {_last_error()}")
+    if got == 0:
+        raise MediaError(f"no frames decoded from {path}")
+    if got < n:
+        if not pad_to_count:
+            return out[:got]
+        out[got:] = out[got - 1]  # reference pad-with-last-frame policy
+    return out
+
+
+def encode_video(path: str, frames: np.ndarray, fps: float = 10.0) -> None:
+    """frames uint8 [N, H, W, 3] → MP4 (mpeg4 codec, yuv420p)."""
+    lib = _get_lib()
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    if frames.ndim != 4 or frames.shape[-1] != 3:
+        raise ValueError(f"expected [N,H,W,3] uint8, got {frames.shape}")
+    n, h, w, _ = frames.shape
+    rc = lib.vcd_encode(
+        path.encode(),
+        frames.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        n, w, h, float(fps),
+    )
+    if rc != 0:
+        raise MediaError(f"encode failed for {path}: {_last_error()}")
