@@ -1,0 +1,151 @@
+"""Host-side batch loader + device feed.
+
+Replaces the reference's torch ``DataLoader`` worker processes and
+``DistributedSampler`` (/root/reference/distributed_video_classifier.py:
+315-341) with a thread-pool loader: the C++ decoder releases the GIL, so
+threads give true parallel decode without process-spawn/pickle overhead, and
+batches stream to the device through a double-buffered ``jax.device_put``
+pipeline (optionally with a NamedSharding so each host feeds its mesh shard
+directly).
+
+Sharding semantics mirror DistributedSampler: epoch-seeded global
+permutation, wrap-pad to a multiple of num_shards, round-robin shard slices
+— so every shard sees the same number of samples (the pad+mask trick the
+reference uses for eval gathers, nexar_complete_with_validation.py:838-900).
+"""
+
+from __future__ import annotations
+
+import collections
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional
+
+import jax
+import numpy as np
+
+
+def collate(samples) -> dict:
+    return {
+        "frames": np.stack([s["frames"] for s in samples]),
+        "sensor": np.stack([s["sensor"] for s in samples]),
+        "target": np.asarray([s["target"] for s in samples], dtype=np.int64),
+        "id": [s["id"] for s in samples],
+        "error": np.asarray([s["error"] for s in samples], dtype=bool),
+    }
+
+
+class ClipLoader:
+    """Iterable over fixed-shape numpy batches with epoch-seeded shuffling."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        *,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        num_workers: int = 8,
+        prefetch_batches: int = 2,
+        seed: int = 42,
+        num_shards: int = 1,
+        shard_index: int = 0,
+    ):
+        if num_shards < 1 or not (0 <= shard_index < num_shards):
+            raise ValueError("bad shard spec")
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.prefetch_batches = max(1, prefetch_batches)
+        self.seed = seed
+        self.num_shards = num_shards
+        self.shard_index = shard_index
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        """Reshuffle per epoch (reference train_sampler.set_epoch,
+        distributed_video_classifier.py:549-550)."""
+        self.epoch = epoch
+
+    def _epoch_indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng((self.seed, self.epoch))
+            idx = rng.permutation(idx)
+        if self.num_shards > 1:
+            # wrap-pad so every shard gets equal count (DistributedSampler)
+            target = -(-n // self.num_shards) * self.num_shards
+            if target > n:
+                idx = np.concatenate([idx, idx[: target - n]])
+            idx = idx[self.shard_index :: self.num_shards]
+        return idx
+
+    def _batches(self):
+        idx = self._epoch_indices()
+        n = len(idx)
+        batches = []
+        for i in range(0, n, self.batch_size):
+            b = idx[i : i + self.batch_size]
+            if len(b) < self.batch_size and self.drop_last:
+                continue
+            batches.append(b)
+        return batches
+
+    def __len__(self) -> int:
+        n = len(self._epoch_indices())
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[dict]:
+        batches = self._batches()
+        if not batches:
+            return
+        ex = ThreadPoolExecutor(max_workers=self.num_workers)
+        futures: dict = {}
+
+        def submit(b: int):
+            for i in batches[b]:
+                futures[(b, int(i))] = ex.submit(self.dataset.get, int(i), self.epoch)
+
+        try:
+            depth = min(self.prefetch_batches + 1, len(batches))
+            for b in range(depth):
+                submit(b)
+            for b in range(len(batches)):
+                if b + depth < len(batches):
+                    submit(b + depth)
+                samples = [futures.pop((b, int(i))).result() for i in batches[b]]
+                yield collate(samples)
+        finally:
+            ex.shutdown(wait=False, cancel_futures=True)
+
+
+def device_prefetch(
+    iterator,
+    sharding: Optional[jax.sharding.Sharding] = None,
+    depth: int = 2,
+    keys=("frames", "sensor", "target"),
+):
+    """Double-buffer host batches onto the device.
+
+    jax.device_put is asynchronous: keeping `depth` batches in flight overlaps
+    host decode + transfer with device compute (the reference gets this from
+    DataLoader workers + non_blocking .to(device)).
+    """
+    buf = collections.deque()
+
+    def put(batch):
+        out = dict(batch)
+        for k in keys:
+            out[k] = jax.device_put(batch[k], sharding)
+        return out
+
+    for batch in iterator:
+        buf.append(put(batch))
+        if len(buf) >= depth:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
