@@ -23,43 +23,51 @@ def normalize_video(x: jax.Array, mean, std) -> jax.Array:
     return (x - mean) / std
 
 
+def train_preprocess(key, frames_u8, cfg: AugmentConfig, target_size: int,
+                     out_dtype=jnp.bfloat16):
+    """Traceable body: (key, uint8 [B,T,H,W,C]) → normalized [B,T,S,S,C].
+
+    Called inline from the jitted train step so decode output → augmented
+    bf16 → forward is ONE XLA program with no HBM round-trip.
+    """
+    x = frames_u8.astype(jnp.float32) / 255.0
+    x = letterbox_resize(x, target_size)
+    b = x.shape[0]
+    k_flip, k_aug = jax.random.split(key)
+    if cfg.horizontal_flip_prob > 0:
+        flip = jax.random.bernoulli(
+            k_flip, cfg.horizontal_flip_prob, (b, 1, 1, 1, 1)
+        )
+        x = jnp.where(flip, x[:, :, :, ::-1, :], x)
+    if cfg.enabled:
+        x = augment_batch(k_aug, x, cfg)
+    x = normalize_video(x, cfg.normalize_mean, cfg.normalize_std)
+    return x.astype(out_dtype)
+
+
+def eval_preprocess(frames_u8, cfg: AugmentConfig, target_size: int,
+                    out_dtype=jnp.bfloat16):
+    """Traceable body for the val transform (mode='val': letterbox +
+    normalize only, /root/reference/nexar_video_aug.py:636-700 with
+    enable_custom_augmentation=False)."""
+    x = frames_u8.astype(jnp.float32) / 255.0
+    x = letterbox_resize(x, target_size)
+    x = normalize_video(x, cfg.normalize_mean, cfg.normalize_std)
+    return x.astype(out_dtype)
+
+
 def make_train_preprocess(cfg: AugmentConfig, target_size: int,
                           out_dtype=jnp.bfloat16):
-    """jitted (key, uint8 [B,T,H,W,C]) → normalized [B,T,S,S,C] out_dtype."""
-
-    @jax.jit
-    def fn(key, frames_u8):
-        x = frames_u8.astype(jnp.float32) / 255.0
-        x = letterbox_resize(x, target_size)
-        b = x.shape[0]
-        k_flip, k_aug = jax.random.split(key)
-        if cfg.horizontal_flip_prob > 0:
-            flip = jax.random.bernoulli(
-                k_flip, cfg.horizontal_flip_prob, (b, 1, 1, 1, 1)
-            )
-            x = jnp.where(flip, x[:, :, :, ::-1, :], x)
-        if cfg.enabled:
-            x = augment_batch(k_aug, x, cfg)
-        x = normalize_video(x, cfg.normalize_mean, cfg.normalize_std)
-        return x.astype(out_dtype)
-
-    return fn
+    """Standalone jitted train transform (for pipelines that pre-process)."""
+    return jax.jit(
+        lambda key, frames: train_preprocess(key, frames, cfg, target_size,
+                                             out_dtype)
+    )
 
 
 def make_eval_preprocess(cfg: AugmentConfig, target_size: int,
                          out_dtype=jnp.bfloat16):
-    """jitted (uint8 [B,T,H,W,C]) → normalized [B,T,S,S,C] out_dtype.
-
-    Mirrors the reference's val transform (mode='val': letterbox + normalize
-    only, /root/reference/nexar_video_aug.py:636-700 with
-    enable_custom_augmentation=False).
-    """
-
-    @jax.jit
-    def fn(frames_u8):
-        x = frames_u8.astype(jnp.float32) / 255.0
-        x = letterbox_resize(x, target_size)
-        x = normalize_video(x, cfg.normalize_mean, cfg.normalize_std)
-        return x.astype(out_dtype)
-
-    return fn
+    """Standalone jitted eval transform."""
+    return jax.jit(
+        lambda frames: eval_preprocess(frames, cfg, target_size, out_dtype)
+    )

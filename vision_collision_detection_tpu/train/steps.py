@@ -1,0 +1,173 @@
+"""Jitted train / eval steps.
+
+TPU-first: each step is ONE compiled XLA program — uint8 frames in,
+preprocessing (letterbox + augmentation + normalize, bf16) fused with the
+model forward/backward and the optimizer update. The reference splits this
+across DataLoader workers (CPU transforms), an autocast forward, a GradScaler
+backward, and a Python optimizer step (/root/reference/nexar_train.py:
+1114-1200); here XLA schedules all of it.
+
+Loss semantics mirror the reference's criterion setup
+(/root/reference/nexar_train.py:884-898): CrossEntropy with optional
+inverse-frequency class weights (torch weighted-mean reduction) or
+BCE-with-logits on one-hot targets. Samples flagged as decode failures are
+masked out of the loss (an intentional improvement over the reference, which
+trains on its zero-tensor fallback frames).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+
+from vision_collision_detection_tpu.config import ExperimentConfig
+from vision_collision_detection_tpu.models import build_model
+from vision_collision_detection_tpu.ops.preprocess import (
+    eval_preprocess,
+    train_preprocess,
+)
+from vision_collision_detection_tpu.train.optim import build_optimizer
+
+
+class TrainState(train_state.TrainState):
+    batch_stats: Any = None
+
+
+def weighted_loss(logits, targets, class_weights, sample_mask, *,
+                  loss_type: str = "cross_entropy",
+                  label_smoothing: float = 0.0):
+    """Per-batch scalar loss + per-sample losses.
+
+    CE uses torch's weighted-mean reduction: sum(w_i * ce_i) / sum(w_i),
+    with w_i = class_weight[target_i] * sample_mask_i.
+    """
+    num_classes = logits.shape[-1]
+    onehot = jax.nn.one_hot(targets, num_classes, dtype=logits.dtype)
+    if label_smoothing > 0:
+        onehot = onehot * (1 - label_smoothing) + label_smoothing / num_classes
+
+    if loss_type == "cross_entropy":
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        per_sample = -jnp.sum(onehot * logp, axis=-1)
+    elif loss_type == "bce":
+        per_sample = jnp.mean(
+            optax.sigmoid_binary_cross_entropy(logits, onehot), axis=-1
+        )
+    else:
+        raise ValueError(f"unknown loss type {loss_type!r}")
+
+    w = class_weights[targets] * sample_mask
+    denom = jnp.maximum(jnp.sum(w), 1e-8)
+    return jnp.sum(per_sample * w) / denom, per_sample
+
+
+def create_train_state(cfg: ExperimentConfig, rng: jax.Array,
+                       steps_per_epoch: int,
+                       sample_frames_shape=None) -> tuple:
+    """→ (model, TrainState). Init is seed-deterministic and identical on
+    every host (the reference's seeded-init discipline,
+    /root/reference/distributed_video_classifier.py:379-412)."""
+    model = build_model(cfg.model)
+    S = cfg.data.frame_size
+    T = cfg.data.num_frames
+    if T > cfg.model.subsample_threshold and cfg.model.frame_subsample > 1:
+        pass  # model subsamples internally; init with full T
+    shape = sample_frames_shape or (1, T, S, S, 3)
+    variables = model.init(
+        {"params": rng}, jnp.zeros(shape, jnp.float32), train=False
+    )
+    tx, _ = build_optimizer(cfg.optim, steps_per_epoch)
+    return model, TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        tx=tx,
+    )
+
+
+def make_train_step(model, cfg: ExperimentConfig,
+                    class_weights: Optional[jnp.ndarray] = None,
+                    preprocess: bool = True,
+                    donate: bool = True) -> Callable:
+    """→ jitted (state, frames, targets, sample_mask, key) → (state, metrics).
+
+    frames: uint8 [B,T,H,W,C] when preprocess=True, else model-ready floats.
+    """
+    aug_cfg = cfg.augment
+    S = cfg.data.frame_size
+    num_classes = cfg.model.num_classes
+    cw = (jnp.asarray(class_weights, jnp.float32)
+          if class_weights is not None else jnp.ones((num_classes,)))
+    loss_type = cfg.optim.loss_type
+    smoothing = cfg.optim.label_smoothing
+    dtype = jnp.dtype(cfg.model.dtype)
+
+    def step(state: TrainState, frames, targets, sample_mask, key):
+        k_pre, k_drop = jax.random.split(key)
+        if preprocess:
+            x = train_preprocess(k_pre, frames, aug_cfg, S, dtype)
+        else:
+            x = frames
+
+        def loss_fn(params):
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                x, train=True, rngs={"dropout": k_drop},
+                mutable=["batch_stats"],
+            )
+            loss, _ = weighted_loss(
+                out, targets, cw, sample_mask,
+                loss_type=loss_type, label_smoothing=smoothing,
+            )
+            return loss, (out, mutated.get("batch_stats", state.batch_stats))
+
+        (loss, (logits, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        state = state.apply_gradients(grads=grads, batch_stats=new_bs)
+        preds = jnp.argmax(logits, axis=-1)
+        correct = jnp.sum((preds == targets) * sample_mask)
+        count = jnp.maximum(jnp.sum(sample_mask), 1.0)
+        metrics = {"loss": loss, "accuracy": correct / count,
+                   "grad_norm": optax.global_norm(grads)}
+        return state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, cfg: ExperimentConfig,
+                   class_weights: Optional[jnp.ndarray] = None,
+                   preprocess: bool = True) -> Callable:
+    """→ jitted (state, frames, targets, sample_mask) → per-batch outputs
+    (loss, probs, preds) for host-side metric aggregation."""
+    aug_cfg = cfg.augment
+    S = cfg.data.frame_size
+    num_classes = cfg.model.num_classes
+    cw = (jnp.asarray(class_weights, jnp.float32)
+          if class_weights is not None else jnp.ones((num_classes,)))
+    loss_type = cfg.optim.loss_type
+    dtype = jnp.dtype(cfg.model.dtype)
+
+    def step(state: TrainState, frames, targets, sample_mask):
+        x = eval_preprocess(frames, aug_cfg, S, dtype) if preprocess else frames
+        logits = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            x, train=False,
+        )
+        loss, per_sample = weighted_loss(
+            logits, targets, cw, sample_mask, loss_type=loss_type
+        )
+        probs = jax.nn.softmax(logits, axis=-1)
+        return {
+            "loss": loss,
+            "per_sample_loss": per_sample,
+            "probs": probs,
+            "preds": jnp.argmax(logits, axis=-1),
+        }
+
+    return jax.jit(step)
