@@ -31,6 +31,19 @@ def collate(samples) -> dict:
         "target": np.asarray([s["target"] for s in samples], dtype=np.int64),
         "id": [s["id"] for s in samples],
         "error": np.asarray([s["error"] for s in samples], dtype=bool),
+        "pad": np.asarray([s.get("pad", False) for s in samples], dtype=bool),
+    }
+
+
+def _pad_sample(template: dict) -> dict:
+    """Shape-compatible dummy sample; masked out of loss/metrics downstream."""
+    return {
+        "frames": np.zeros_like(template["frames"]),
+        "sensor": np.zeros_like(template["sensor"]),
+        "target": np.int64(0),
+        "id": "__pad__",
+        "error": True,
+        "pad": True,
     }
 
 
@@ -49,9 +62,16 @@ class ClipLoader:
         seed: int = 42,
         num_shards: int = 1,
         shard_index: int = 0,
+        pad_partial: bool = False,
     ):
+        """pad_partial: fill the trailing partial batch with masked dummy
+        samples so every batch has identical shape — required when batches are
+        sharded over a device mesh (SPMD static shapes), and the same
+        pad+mask trick the reference uses for its eval all_gather
+        (/root/reference/nexar_complete_with_validation.py:861-871)."""
         if num_shards < 1 or not (0 <= shard_index < num_shards):
             raise ValueError("bad shard spec")
+        self.pad_partial = pad_partial
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -118,6 +138,10 @@ class ClipLoader:
                 if b + depth < len(batches):
                     submit(b + depth)
                 samples = [futures.pop((b, int(i))).result() for i in batches[b]]
+                if self.pad_partial and len(samples) < self.batch_size:
+                    samples += [_pad_sample(samples[0])] * (
+                        self.batch_size - len(samples)
+                    )
                 yield collate(samples)
         finally:
             ex.shutdown(wait=False, cancel_futures=True)

@@ -66,6 +66,10 @@ class SingleDeviceStrategy:
     def gather_eval(self, arrays: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         return arrays
 
+    @staticmethod
+    def to_host(x) -> np.ndarray:
+        return np.asarray(x)
+
     @property
     def is_main(self) -> bool:
         return True
@@ -91,24 +95,28 @@ class Trainer:
 
         dc = cfg.data
         per_host_batch = dc.batch_size * self._local_batch_multiplier()
+        pad_partial = getattr(self.strategy, "pad_batches", False)
         self.train_loader = ClipLoader(
             train_ds, per_host_batch, shuffle=True,
             drop_last=dc.drop_last_train, num_workers=dc.num_workers,
             prefetch_batches=dc.prefetch_depth, seed=dc.seed,
             num_shards=self.strategy.num_data_shards,
             shard_index=self.strategy.data_shard_index,
+            pad_partial=pad_partial,
         )
         self.val_loader = ClipLoader(
             val_ds, per_host_batch, shuffle=False, drop_last=False,
             num_workers=dc.num_workers, seed=dc.seed,
             num_shards=self.strategy.num_data_shards,
             shard_index=self.strategy.data_shard_index,
+            pad_partial=pad_partial,
         )
         self.mini_val_loader = ClipLoader(
             val_ds, per_host_batch, shuffle=True, drop_last=False,
             num_workers=dc.num_workers, seed=dc.seed + 1,
             num_shards=self.strategy.num_data_shards,
             shard_index=self.strategy.data_shard_index,
+            pad_partial=pad_partial,
         )
         self.test_loader = (
             ClipLoader(
@@ -116,6 +124,7 @@ class Trainer:
                 num_workers=dc.num_workers, seed=dc.seed,
                 num_shards=self.strategy.num_data_shards,
                 shard_index=self.strategy.data_shard_index,
+                pad_partial=pad_partial,
             )
             if test_ds is not None else None
         )
@@ -213,20 +222,25 @@ class Trainer:
                  epoch: int = 0) -> Dict:
         """Sharded evaluation + gather (gen-3b semantics)."""
         loader.set_epoch(epoch)
-        probs, preds, targets, masks, ids, losses, counts = [], [], [], [], [], [], []
+        probs, preds, targets, masks, pads, ids, losses, counts = (
+            [], [], [], [], [], [], [], []
+        )
         it = device_prefetch(iter(loader), self.strategy.data_sharding)
         for i, batch in enumerate(it):
             if max_batches is not None and i >= max_batches:
                 break
-            mask = jnp.asarray(~batch["error"], jnp.float32)
+            mask = jnp.asarray(~(batch["error"] | batch["pad"]), jnp.float32)
             out = self.eval_step(
                 self.state, batch["frames"], batch["target"], mask
             )
-            probs.append(np.asarray(out["probs"], np.float32))
-            preds.append(np.asarray(out["preds"]))
+            probs.append(self.strategy.to_host(out["probs"]).astype(np.float32))
+            preds.append(self.strategy.to_host(out["preds"]))
             targets.append(np.asarray(batch["target"]))
             masks.append(np.asarray(mask, bool))
-            ids.extend(batch["id"])
+            pads.append(np.asarray(batch["pad"], bool))
+            ids.extend(
+                i_ for i_, p_ in zip(batch["id"], batch["pad"]) if not p_
+            )
             losses.append(float(out["loss"]))
             counts.append(int(np.asarray(mask).sum()))
         if not targets:
@@ -237,12 +251,16 @@ class Trainer:
             "preds": np.concatenate(preds),
             "targets": np.concatenate(targets),
             "mask": np.concatenate(masks),
+            "pad": np.concatenate(pads),
             "loss_sum": np.array(
                 [sum(l * c for l, c in zip(losses, counts))], np.float64
             ),
             "count": np.array([sum(counts)], np.float64),
         }
         arrays = self.strategy.gather_eval(arrays)
+        keep = ~arrays["pad"]
+        for k in ("probs", "preds", "targets", "mask"):
+            arrays[k] = arrays[k][keep]
 
         m = arrays["mask"]
         metrics = classification_metrics(
@@ -288,7 +306,8 @@ class Trainer:
                     ),
                     jax.process_index(),
                 )
-                mask = jnp.asarray(~batch["error"], jnp.float32)
+                mask = jnp.asarray(~(batch["error"] | batch["pad"]),
+                                   jnp.float32)
                 self.state, m = self.train_step(
                     self.state, batch["frames"], batch["target"], mask, key
                 )
@@ -393,10 +412,10 @@ class Trainer:
                  and k != "ids"},
             )
             if metrics.get("num_samples", 0):
-                n = len(metrics["ids"])
+                n = min(len(metrics["ids"]), len(metrics["_targets"]))
                 save_predictions_csv(
                     os.path.join(self.run_dir, "test_predictions.csv"),
-                    metrics["ids"], metrics["_targets"][:n],
+                    metrics["ids"][:n], metrics["_targets"][:n],
                     metrics["_preds"][:n], metrics["_probs"][:n],
                     self.cfg.data.class_names,
                 )
