@@ -1,0 +1,91 @@
+"""Inference API tests: checkpoint reconstruction, predict paths/dir, sliding."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from vision_collision_detection_tpu.config import ExperimentConfig
+from vision_collision_detection_tpu.data import create_datasets_with_manual_split
+from vision_collision_detection_tpu.infer import CollisionPredictor
+from vision_collision_detection_tpu.media.synthetic import generate_dataset
+from vision_collision_detection_tpu.train import Trainer
+
+
+@pytest.fixture(scope="module")
+def trained_run(tmp_path_factory):
+    root = tmp_path_factory.mktemp("infer")
+    csv = generate_dataset(
+        str(root / "synth"), clips_per_class=3, num_frames=12, height=40,
+        width=56, splits=("train", "train", "val"),
+    )
+    df = pd.read_csv(csv).fillna({"sensor_path": ""})
+    cfg = ExperimentConfig().override({
+        "model.backbone": "resnet18",
+        "model.temporal_mode": "pooling",
+        "model.dtype": "float32",
+        "data.fps": 5,
+        "data.duration": 1,
+        "data.frame_size": 32,
+        "data.batch_size": 4,
+        "train.epochs": 1,
+        "train.validation_freq": 0,
+        "train.log_every_steps": 0,
+        "augment.blur_sigma": 0.0,
+    })
+    train, val, test = create_datasets_with_manual_split(
+        df, fps=5, duration=1, frame_size=32,
+    )
+    run_dir = str(root / "run")
+    tr = Trainer(cfg, train, val, run_dir=run_dir)
+    tr.train()
+    return run_dir, df
+
+
+def test_from_checkpoint_reconstructs_architecture(trained_run):
+    run_dir, _ = trained_run
+    pred = CollisionPredictor.from_checkpoint(run_dir)
+    assert pred.cfg.model.backbone == "resnet18"
+    assert pred.class_names == ("Normal", "Near Collision", "Collision")
+
+
+def test_predict_list_and_directory(trained_run):
+    run_dir, df = trained_run
+    pred = CollisionPredictor.from_checkpoint(run_dir)
+    paths = df["video_path"].tolist()[:4]
+    res = pred.predict(paths, batch_size=2)
+    assert len(res) == 4
+    for r in res:
+        assert r["success"]
+        assert r["predicted_class"] in pred.class_names
+        assert abs(sum(r["probabilities"].values()) - 1.0) < 1e-4
+    # directory walk
+    video_dir = os.path.dirname(paths[0])
+    res_dir = pred.predict(video_dir)
+    assert len(res_dir) == 9  # all synthetic clips
+
+    text = CollisionPredictor.display_results(res[:1])
+    assert "%" in text
+
+
+def test_predict_handles_bad_file(trained_run, tmp_path):
+    run_dir, df = trained_run
+    pred = CollisionPredictor.from_checkpoint(run_dir)
+    bad = str(tmp_path / "broken.mp4")
+    with open(bad, "wb") as f:
+        f.write(b"not a video")
+    res = pred.predict([df["video_path"].iloc[0], bad])
+    assert res[0]["success"] and not res[1]["success"]
+
+
+def test_sliding_window(trained_run):
+    run_dir, df = trained_run
+    pred = CollisionPredictor.from_checkpoint(run_dir)
+    # 12-frame video @10fps, 1s (10-frame) window, 0.2s stride → starts 0,2
+    res = pred.predict_sliding(df["video_path"].iloc[0], stride_sec=0.2)
+    assert len(res) >= 2
+    assert res[0]["start_sec"] == 0.0
+    assert res[1]["start_sec"] > res[0]["start_sec"]
+    for r in res:
+        assert abs(sum(r["probabilities"].values()) - 1.0) < 1e-4

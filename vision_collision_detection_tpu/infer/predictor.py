@@ -1,0 +1,227 @@
+"""Batch inference API: checkpoint → per-clip collision probabilities.
+
+Capability parity with ``VideoCollisionModel``
+(/root/reference/nexar_inference.py:13-341) and the notebook
+``NexarVideoInference`` (inference.ipynb cell 0):
+
+- checkpoints are self-describing: the persisted ExperimentConfig drives
+  architecture reconstruction (reference ``hyperparams`` contract,
+  nexar_inference.py:55-81);
+- ``predict`` accepts a single path, a list, or a directory (reference
+  :124-157) — but needs no tempdir-symlink farm (:168-199): the dataset is
+  path-based by design;
+- ``predict_sliding`` runs batched sliding temporal windows over long videos
+  (BASELINE.json config 2), all windows in one device batch;
+- ``display_results`` renders the ANSI probability bars (:376-408).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vision_collision_detection_tpu.ckpt.checkpoint import load_checkpoint
+from vision_collision_detection_tpu.config import ExperimentConfig
+from vision_collision_detection_tpu.data.datasets import ClipDataset, ClipRecord
+from vision_collision_detection_tpu.data.loader import ClipLoader, device_prefetch
+from vision_collision_detection_tpu.media.decoder import decode_frames, probe
+from vision_collision_detection_tpu.models import build_model
+from vision_collision_detection_tpu.ops.preprocess import eval_preprocess
+
+VIDEO_EXTENSIONS = (".mp4", ".mov", ".MP4", ".MOV")
+
+
+class CollisionPredictor:
+    def __init__(self, cfg: ExperimentConfig, params, batch_stats=None):
+        cfg.validate()
+        self.cfg = cfg
+        self.model = build_model(cfg.model)
+        self.params = params
+        self.batch_stats = batch_stats or {}
+        self.class_names = tuple(cfg.data.class_names)
+        aug = cfg.augment
+        S = cfg.data.frame_size
+        dtype = jnp.dtype(cfg.model.dtype)
+
+        @jax.jit
+        def _forward(frames_u8):
+            x = eval_preprocess(frames_u8, aug, S, dtype)
+            logits = self.model.apply(
+                {"params": self.params, "batch_stats": self.batch_stats},
+                x, train=False,
+            )
+            return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+        self._forward = _forward
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_checkpoint(cls, path: str) -> "CollisionPredictor":
+        """`path` may be a checkpoint dir (best/last/epoch_N) or a run dir —
+        run dirs resolve best→last→newest epoch (the reference's test-time
+        fallback chain, /root/reference/nexar_complete.py:433-444)."""
+        ckpt_dir = cls._resolve(path)
+        arrays, meta = load_checkpoint(ckpt_dir)
+        if "hyperparams" not in meta:
+            raise ValueError(f"{ckpt_dir} has no hyperparams contract")
+        cfg = ExperimentConfig.from_dict(meta["hyperparams"])
+        return cls(cfg, arrays["params"], arrays.get("batch_stats") or {})
+
+    @staticmethod
+    def _resolve(path: str) -> str:
+        from vision_collision_detection_tpu.ckpt.checkpoint import ARRAYS_DIR
+
+        if os.path.isdir(os.path.join(path, ARRAYS_DIR)):
+            return path
+        from vision_collision_detection_tpu.ckpt import CheckpointStore
+
+        store = CheckpointStore(path)
+        role = store.latest_role()
+        if role is None:
+            raise FileNotFoundError(f"no checkpoint found under {path}")
+        return store.path(role)
+
+    # ------------------------------------------------------------------
+    def _collect_paths(
+        self, videos: Union[str, Sequence[str]]
+    ) -> List[str]:
+        if isinstance(videos, str):
+            if os.path.isdir(videos):
+                found = []
+                for root, _, files in os.walk(videos):
+                    for f in sorted(files):
+                        if f.endswith(VIDEO_EXTENSIONS):
+                            found.append(os.path.join(root, f))
+                return found
+            return [videos]
+        return list(videos)
+
+    def predict(
+        self,
+        videos: Union[str, Sequence[str]],
+        sample_strategy: str = "center",
+        batch_size: int = 8,
+        event_times: Optional[Sequence[float]] = None,
+        num_workers: int = 8,
+    ) -> List[Dict]:
+        """→ one result dict per clip (reference :304-311)."""
+        paths = self._collect_paths(videos)
+        if not paths:
+            return []
+        records = [
+            ClipRecord(
+                video_id=os.path.splitext(os.path.basename(p))[0],
+                video_path=p, label=0,
+                event_time_sec=(event_times[i] if event_times else None),
+            )
+            for i, p in enumerate(paths)
+        ]
+        dc = self.cfg.data
+        ds = ClipDataset(
+            records, fps=dc.fps, duration=dc.duration,
+            frame_size=dc.frame_size, sample_strategy=sample_strategy,
+            class_names=self.class_names,
+        )
+        loader = ClipLoader(ds, batch_size, num_workers=num_workers)
+        results: List[Dict] = []
+        for batch in device_prefetch(iter(loader), keys=("frames",)):
+            probs = np.asarray(self._forward(batch["frames"]))
+            for i in range(len(batch["id"])):
+                if batch["error"][i]:
+                    results.append({
+                        "video_path": records[len(results)].video_path,
+                        "id": batch["id"][i],
+                        "success": False,
+                        "error": "decode failed",
+                    })
+                    continue
+                p = probs[i]
+                k = int(p.argmax())
+                results.append({
+                    "video_path": records[len(results)].video_path,
+                    "id": batch["id"][i],
+                    "success": True,
+                    "predicted_class": self.class_names[k],
+                    "predicted_label": k,
+                    "confidence": float(p[k]),
+                    "probabilities": {
+                        name: float(p[j])
+                        for j, name in enumerate(self.class_names)
+                    },
+                })
+        return results
+
+    # ------------------------------------------------------------------
+    def predict_sliding(
+        self,
+        video_path: str,
+        stride_sec: float = 1.0,
+        max_windows: int = 64,
+    ) -> List[Dict]:
+        """Sliding-window inference over one long video: every window is a
+        row of ONE batched forward pass (BASELINE.json config 2)."""
+        info = probe(video_path)
+        dc = self.cfg.data
+        T = dc.num_frames
+        window_len_sec = dc.duration
+        stride_frames = max(1, int(round(stride_sec * info.fps)))
+        native_per_window = int(round(window_len_sec * info.fps))
+
+        starts = list(range(
+            0, max(1, info.num_frames - native_per_window + 1), stride_frames
+        ))[:max_windows]
+        # each window: T frames sampled uniformly inside the native window
+        all_indices = []
+        for s in starts:
+            idx = np.linspace(
+                s, min(s + native_per_window - 1, info.num_frames - 1), T
+            ).astype(np.int64)
+            all_indices.append(idx)
+        flat = np.unique(np.concatenate(all_indices))
+        decoded = decode_frames(
+            video_path, flat, target_size=dc.frame_size, letterbox=True
+        )
+        pos = {int(f): i for i, f in enumerate(flat)}
+        windows = np.stack([
+            decoded[[pos[int(i)] for i in idx]] for idx in all_indices
+        ])  # [W, T, S, S, 3]
+
+        probs = np.asarray(self._forward(windows))
+        out = []
+        for w, (s, p) in enumerate(zip(starts, probs)):
+            k = int(p.argmax())
+            out.append({
+                "window": w,
+                "start_sec": s / info.fps,
+                "end_sec": min((s + native_per_window) / info.fps,
+                               info.duration),
+                "predicted_class": self.class_names[k],
+                "confidence": float(p[k]),
+                "probabilities": {
+                    name: float(p[j]) for j, name in enumerate(self.class_names)
+                },
+            })
+        return out
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def display_results(results: List[Dict], width: int = 40) -> str:
+        """ANSI bar chart per clip (reference :376-408); returns the text."""
+        lines = []
+        for r in results:
+            name = r.get("id") or os.path.basename(r.get("video_path", "?"))
+            if not r.get("success", True):
+                lines.append(f"{name}: ERROR ({r.get('error')})")
+                continue
+            lines.append(f"{name}: {r['predicted_class']} "
+                         f"({r['confidence'] * 100:.1f}%)")
+            for cls, p in r["probabilities"].items():
+                bar = "█" * int(p * width)
+                lines.append(f"  {cls:<15} {bar:<{width}} {p * 100:5.1f}%")
+        text = "\n".join(lines)
+        print(text)
+        return text
