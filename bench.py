@@ -85,11 +85,15 @@ def build_forward():
     cfg = ExperimentConfig()  # convnext_tiny + gru flagship
     model = build_model(cfg.model)
     T = cfg.data.num_frames
-    variables = model.init(
+    # jit the init: eager init dispatches hundreds of tiny ops, which is
+    # pathological through this machine's remote-compile TPU tunnel
+    t0 = time.perf_counter()
+    variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
         {"params": jax.random.PRNGKey(0)},
         jnp.zeros((1, T, FRAME_SIZE, FRAME_SIZE, 3), jnp.float32),
-        train=False,
     )
+    jax.block_until_ready(variables)
+    log(f"model init {time.perf_counter() - t0:.1f}s")
 
     @jax.jit
     def forward(frames_u8):
@@ -168,10 +172,9 @@ def bench_reference_style(paths, cfg, forward) -> float:
 
     clip = one_clip(paths[0])
     model = build_model(cfg.model)
-    variables = model.init(
+    variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
         {"params": jax.random.PRNGKey(0)},
         jnp.zeros((1, CLIP_FRAMES, FRAME_SIZE, FRAME_SIZE, 3), jnp.float32),
-        train=False,
     )
 
     @jax.jit

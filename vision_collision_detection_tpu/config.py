@@ -175,6 +175,7 @@ class TrainConfig:
     seed: int = 42
     resume: bool = False  # true mid-training resume (reference lacks this)
     deterministic_data: bool = True
+    dashboard: bool = False  # live console+HTML dashboard (obs.dashboard)
 
 
 @dataclass

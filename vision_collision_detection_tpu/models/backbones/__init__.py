@@ -34,8 +34,9 @@ def feature_dim(name: str) -> int:
     return _FEATURE_DIMS[name]
 
 
-def build_backbone(name: str, dtype=None, **kwargs):
-    """Instantiate a backbone module by name (lazily imports the family)."""
+def build_backbone(kind: str, dtype=None, **kwargs):
+    """Instantiate a backbone module by registry key (lazily imports the
+    family). Extra kwargs (e.g. flax ``name=``) pass through to the module."""
     # Import families for registration side effects.
     from vision_collision_detection_tpu.models.backbones import (  # noqa: F401
         convnext,
@@ -44,7 +45,7 @@ def build_backbone(name: str, dtype=None, **kwargs):
         resnet,
     )
 
-    factory = BACKBONE_REGISTRY.get(name)
+    factory = BACKBONE_REGISTRY.get(kind)
     return factory(dtype=dtype, **kwargs)
 
 

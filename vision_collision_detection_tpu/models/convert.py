@@ -1,0 +1,181 @@
+"""torchvision → flax weight conversion.
+
+The reference gets its accuracy from ImageNet-pretrained torchvision
+backbones (/root/reference/nexar_arch.py:289-341, ``pretrained=True``). This
+environment has torch but not torchvision, so conversion is an offline tool:
+feed it a torchvision ``state_dict`` (torch.load'd .pth) and it emits the
+flax param/batch_stats trees for our NHWC backbones, saved as .npz for
+``ModelConfig.pretrained_path``.
+
+Layout rules:
+- Conv2d weight [O, I, kh, kw] → flax kernel [kh, kw, I, O]
+- depthwise Conv2d [C, 1, kh, kw] → flax [kh, kw, 1, C]
+- Linear weight [O, I] → flax kernel [I, O]
+- BatchNorm weight/bias → scale/bias; running_mean/var → batch_stats
+- LayerNorm weight/bias → scale/bias
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+def _t(x) -> np.ndarray:
+    try:  # torch tensor → numpy
+        return x.detach().cpu().numpy()
+    except AttributeError:
+        return np.asarray(x)
+
+
+def _conv(sd, name):
+    return np.transpose(_t(sd[f"{name}.weight"]), (2, 3, 1, 0))
+
+
+def _dwconv(sd, name):
+    w = _t(sd[f"{name}.weight"])  # [C, 1, kh, kw]
+    return np.transpose(w, (2, 3, 1, 0))  # [kh, kw, 1, C]
+
+
+def _linear(sd, name):
+    return {"kernel": _t(sd[f"{name}.weight"]).T,
+            "bias": _t(sd[f"{name}.bias"])}
+
+
+def _bn(sd, name) -> Tuple[dict, dict]:
+    params = {"scale": _t(sd[f"{name}.weight"]),
+              "bias": _t(sd[f"{name}.bias"])}
+    stats = {"mean": _t(sd[f"{name}.running_mean"]),
+             "var": _t(sd[f"{name}.running_var"])}
+    return params, stats
+
+
+def _ln(sd, name):
+    return {"scale": _t(sd[f"{name}.weight"]), "bias": _t(sd[f"{name}.bias"])}
+
+
+# ---------------------------------------------------------------------------
+# ResNet (torchvision resnet18/resnet50 naming)
+# ---------------------------------------------------------------------------
+def convert_resnet(sd: Dict, stage_sizes, bottleneck: bool) -> Dict:
+    params: Dict = {}
+    stats: Dict = {}
+    params["stem_conv"] = {"kernel": _conv(sd, "conv1")}
+    params["stem_bn"], stats["stem_bn"] = _bn(sd, "bn1")
+    n_convs = 3 if bottleneck else 2
+    for stage, blocks in enumerate(stage_sizes):
+        for b in range(blocks):
+            src = f"layer{stage + 1}.{b}"
+            dst = f"layer{stage + 1}_{b}"
+            block_p: Dict = {}
+            block_s: Dict = {}
+            for c in range(1, n_convs + 1):
+                block_p[f"conv{c}"] = {"kernel": _conv(sd, f"{src}.conv{c}")}
+                block_p[f"bn{c}"], block_s[f"bn{c}"] = _bn(sd, f"{src}.bn{c}")
+            if f"{src}.downsample.0.weight" in sd:
+                block_p["downsample_conv"] = {
+                    "kernel": _conv(sd, f"{src}.downsample.0")
+                }
+                block_p["downsample_bn"], block_s["downsample_bn"] = _bn(
+                    sd, f"{src}.downsample.1"
+                )
+            params[dst] = block_p
+            stats[dst] = block_s
+    return {"params": params, "batch_stats": stats}
+
+
+# ---------------------------------------------------------------------------
+# ConvNeXt (torchvision convnext_{tiny,base,large} naming)
+# ---------------------------------------------------------------------------
+def convert_convnext(sd: Dict, depths) -> Dict:
+    params: Dict = {}
+    params["stem_conv"] = {"kernel": _conv(sd, "features.0.0"),
+                           "bias": _t(sd["features.0.0.bias"])}
+    params["stem_norm"] = _ln(sd, "features.0.1")
+    for stage in range(len(depths)):
+        feat_idx = 1 + 2 * stage  # stages at features.1,3,5,7
+        if stage > 0:
+            ds = f"features.{feat_idx - 1}"
+            params[f"downsample{stage}_norm"] = _ln(sd, f"{ds}.0")
+            params[f"downsample{stage}_conv"] = {
+                "kernel": _conv(sd, f"{ds}.1"),
+                "bias": _t(sd[f"{ds}.1.bias"]),
+            }
+        for b in range(depths[stage]):
+            src = f"features.{feat_idx}.{b}.block"
+            params[f"stage{stage}_block{b}"] = {
+                "dwconv": {"kernel": _dwconv(sd, f"{src}.0"),
+                           "bias": _t(sd[f"{src}.0.bias"])},
+                "norm": _ln(sd, f"{src}.2"),
+                "pwconv1": _linear(sd, f"{src}.3"),
+                "pwconv2": _linear(sd, f"{src}.5"),
+                "gamma": _t(sd[f"features.{feat_idx}.{b}.layer_scale"]).reshape(-1),
+            }
+    # torchvision classifier.0 is the final LayerNorm2d before the fc head
+    if "classifier.0.weight" in sd:
+        params["head_norm"] = _ln(sd, "classifier.0")
+    return {"params": params, "batch_stats": {}}
+
+
+_CONVERTERS = {
+    "resnet18": lambda sd: convert_resnet(sd, (2, 2, 2, 2), False),
+    "resnet50": lambda sd: convert_resnet(sd, (3, 4, 6, 3), True),
+    "convnext_tiny": lambda sd: convert_convnext(sd, (3, 3, 9, 3)),
+    "convnext_base": lambda sd: convert_convnext(sd, (3, 3, 27, 3)),
+    "convnext_large": lambda sd: convert_convnext(sd, (3, 3, 27, 3)),
+}
+
+
+def convert_torch_state_dict(state_dict: Dict, backbone: str) -> Dict:
+    """→ {"params": ..., "batch_stats": ...} for the named flax backbone."""
+    if backbone not in _CONVERTERS:
+        raise NotImplementedError(
+            f"no converter for {backbone!r}; available: {sorted(_CONVERTERS)}"
+        )
+    return _CONVERTERS[backbone](state_dict)
+
+
+def save_npz(tree: Dict, path: str) -> None:
+    flat = _flatten(tree)
+    np.savez(path, **flat)
+
+
+def load_npz(path: str) -> Dict:
+    with np.load(path) as z:
+        flat = {k: z[k] for k in z.files}
+    return _unflatten(flat)
+
+
+def _flatten(tree: Dict, prefix: str = "") -> Dict[str, np.ndarray]:
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}/{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            out.update(_flatten(v, key))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def _unflatten(flat: Dict[str, np.ndarray]) -> Dict:
+    tree: Dict = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
+def convert_checkpoint_file(pth_path: str, backbone: str, out_path: str) -> str:
+    """Offline CLI helper: torch .pth → flax .npz."""
+    import torch
+
+    sd = torch.load(pth_path, map_location="cpu", weights_only=True)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    tree = convert_torch_state_dict(sd, backbone)
+    save_npz(tree, out_path)
+    return out_path

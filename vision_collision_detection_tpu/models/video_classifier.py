@@ -64,7 +64,7 @@ class VideoClassifierModel(nn.Module):
 
         # [B,T,H,W,C] → [B·T,H,W,C]: one big per-frame CNN batch.
         flat = x.reshape((B * T,) + x.shape[2:])
-        net = build_backbone(self.backbone, dtype=self.dtype)
+        net = build_backbone(self.backbone, dtype=self.dtype, name="backbone")
         feats = net(flat, train=train)  # [B·T, D] fp32
         D = feats.shape[-1]
         feats = feats.reshape(B, T, D)

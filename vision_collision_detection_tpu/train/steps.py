@@ -38,6 +38,29 @@ class TrainState(train_state.TrainState):
     batch_stats: Any = None
 
 
+def load_pretrained_backbone(variables: dict, npz_path: str) -> dict:
+    """Swap the 'backbone' subtree for converted torchvision weights
+    (models.convert), mirroring the reference's pretrained=True backbones
+    (/root/reference/nexar_arch.py:289-341) with the head left freshly
+    initialized (head swap, :876)."""
+    import flax
+
+    from vision_collision_detection_tpu.models.convert import load_npz
+
+    loaded = load_npz(npz_path)
+    variables = flax.core.unfreeze(variables)
+    target_p = variables["params"]["backbone"]
+    variables["params"]["backbone"] = flax.serialization.from_state_dict(
+        target_p, loaded["params"]
+    )
+    if loaded.get("batch_stats"):
+        bs = variables.setdefault("batch_stats", {})
+        bs["backbone"] = flax.serialization.from_state_dict(
+            bs.get("backbone", {}), loaded["batch_stats"]
+        )
+    return variables
+
+
 def weighted_loss(logits, targets, class_weights, sample_mask, *,
                   loss_type: str = "cross_entropy",
                   label_smoothing: float = 0.0):
@@ -78,9 +101,15 @@ def create_train_state(cfg: ExperimentConfig, rng: jax.Array,
     if T > cfg.model.subsample_threshold and cfg.model.frame_subsample > 1:
         pass  # model subsamples internally; init with full T
     shape = sample_frames_shape or (1, T, S, S, 3)
-    variables = model.init(
-        {"params": rng}, jnp.zeros(shape, jnp.float32), train=False
+    # jitted init: one compiled program instead of hundreds of eager op
+    # dispatches (pathological through remote-compile TPU tunnels)
+    variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
+        {"params": rng}, jnp.zeros(shape, jnp.float32)
     )
+    if cfg.model.pretrained_path:
+        variables = load_pretrained_backbone(
+            variables, cfg.model.pretrained_path
+        )
     tx, _ = build_optimizer(cfg.optim, steps_per_epoch)
     return model, TrainState.create(
         apply_fn=model.apply,

@@ -286,6 +286,15 @@ class Trainer:
             max(1, self.steps_per_epoch // tc.validation_freq)
             if tc.validation_freq > 0 else 0
         )
+        viz = None
+        if tc.dashboard:
+            from vision_collision_detection_tpu.obs.dashboard import (
+                create_distributed_visualizer,
+            )
+
+            viz = create_distributed_visualizer(
+                epochs, self.steps_per_epoch, self.run_dir
+            )
         self.log.info(
             "training %s: %d epochs × %d steps, %d val clips",
             self.cfg.name(), epochs, self.steps_per_epoch,
@@ -294,6 +303,8 @@ class Trainer:
 
         for epoch in range(self.start_epoch, epochs):
             t0 = time.time()
+            if viz:
+                viz.start_epoch(epoch)
             self.train_loader.set_epoch(epoch)
             run_loss, run_acc, n_steps = 0.0, 0.0, 0
             it = device_prefetch(
@@ -314,6 +325,8 @@ class Trainer:
                 run_loss += float(m["loss"])
                 run_acc += float(m["accuracy"])
                 n_steps += 1
+                if viz:
+                    viz.update_train_loss(float(m["loss"]), n_steps)
                 if tc.log_every_steps and n_steps % tc.log_every_steps == 0:
                     elapsed = time.time() - t0
                     self.log.info(
@@ -331,6 +344,15 @@ class Trainer:
                 "accuracy": run_acc / max(n_steps, 1),
             }
             val = self.evaluate(self.val_loader, epoch=epoch)
+            if viz:
+                viz.update_full_val_metrics(
+                    {k: v for k, v in val.items()
+                     if isinstance(v, (int, float))}
+                )
+                viz.mark_epoch(epoch, train_metrics={
+                    "loss": run_loss / max(n_steps, 1),
+                    "accuracy": run_acc / max(n_steps, 1),
+                })
             epoch_time = time.time() - t0
             lr = float(self.lr_schedule(self.state.step))
             self.history.append_epoch(
