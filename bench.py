@@ -75,16 +75,23 @@ def ensure_fixtures() -> list:
 
 
 def build_forward():
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(CACHE_DIR, "xla"))
 
     from vision_collision_detection_tpu.config import ExperimentConfig
     from vision_collision_detection_tpu.models import build_model
     from vision_collision_detection_tpu.ops.preprocess import eval_preprocess
 
     cfg = ExperimentConfig()  # convnext_tiny + gru flagship
-    model = build_model(cfg.model)
-    T = cfg.data.num_frames
+    # The pipeline folds the model's ::2 frame subsample into decode (same
+    # math as /root/reference/nexar_arch.py:412-415 at half the decode and
+    # host→device bytes), so the device model skips its internal subsample.
+    model = build_model(dataclasses.replace(cfg.model, frame_subsample=1))
+    T = cfg.data.num_frames // 2
     # jit the init: eager init dispatches hundreds of tiny ops, which is
     # pathological through this machine's remote-compile TPU tunnel
     t0 = time.perf_counter()
@@ -112,9 +119,16 @@ def bench_tpu_pipeline(paths, cfg, forward) -> float:
     from vision_collision_detection_tpu.data.datasets import ClipDataset, ClipRecord
     from vision_collision_detection_tpu.data.loader import ClipLoader, device_prefetch
 
+    from vision_collision_detection_tpu.ops.letterbox import letterbox_geometry
+
     records = [ClipRecord(os.path.basename(p), p, 0) for p in paths]
+    # ship letterbox CONTENT rows only (the black bars are ~44% of the bytes
+    # for 16:9 → square); the device pads them back inside the fused program
+    nh, nw, _, _ = letterbox_geometry(SRC_H, SRC_W, FRAME_SIZE)
+    content = (nh + nh % 2, nw + nw % 2)
     ds = ClipDataset(records, fps=CLIP_FPS, duration=CLIP_FRAMES // CLIP_FPS,
-                     frame_size=FRAME_SIZE, sample_strategy="center")
+                     frame_size=FRAME_SIZE, sample_strategy="center",
+                     frame_stride=2, content_box=content)
     loader = ClipLoader(ds, BATCH, num_workers=min(16, os.cpu_count() or 8),
                         prefetch_batches=3)
 

@@ -65,7 +65,18 @@ class ClipDataset:
         is_train: bool = False,
         seed: int = 42,
         class_names: Sequence[str] = DEFAULT_CLASS_NAMES,
+        frame_stride: int = 1,
+        content_box: Optional[tuple] = None,
     ):
+        """frame_stride k: decode every k-th frame of the sampled window
+        (folding the model's frame subsample — nexar_arch.py:412-415 — into
+        decode halves decode + host→device bytes; pair with a model whose
+        internal subsample is disabled).
+
+        content_box (h, w): decode into this rectangular letterbox canvas
+        instead of the square frame_size — callers ship only content rows
+        and pad the black bars on-device (ops.letterbox), cutting transfer
+        bytes by the bar fraction (~44% for 16:9 → square)."""
         self.records = list(records)
         self.fps = fps
         self.duration = duration
@@ -76,7 +87,19 @@ class ClipDataset:
         self.is_train = is_train
         self.seed = seed
         self.class_names = tuple(class_names)
+        self.frame_stride = max(1, int(frame_stride))
+        self.content_box = tuple(content_box) if content_box else None
         self._probe_cache: Dict[str, tuple] = {}
+
+    @property
+    def out_frames(self) -> int:
+        return -(-self.frames_needed // self.frame_stride)
+
+    @property
+    def out_hw(self) -> tuple:
+        if self.content_box:
+            return self.content_box
+        return (self.frame_size, self.frame_size)
 
     def __len__(self) -> int:
         return len(self.records)
@@ -98,20 +121,25 @@ class ClipDataset:
         while staying reproducible (reference seeds everything at 42,
         /root/reference/nexar_videos.py:836-839)."""
         rec = self.records[idx]
-        T, S = self.frames_needed, self.frame_size
+        T = self.frames_needed
+        T_out = self.out_frames
+        oh, ow = self.out_hw
         try:
             num_frames, vfps = self._probe(rec.video_path)
             rng = np.random.default_rng((self.seed, epoch, idx))
-            indices = sample_clip_indices(
+            window = sample_clip_indices(
                 self.sample_strategy, num_frames, T,
                 video_fps=vfps, event_time_sec=rec.event_time_sec, rng=rng,
             )
+            indices = window[:: self.frame_stride]
             frames = decode_frames(
-                rec.video_path, indices, target_size=S, letterbox=True
+                rec.video_path, indices,
+                target_size=(self.content_box or self.frame_size),
+                letterbox=True,
             )
             if self.load_sensor:
                 full = load_synced_sensor(rec.sensor_path, vfps, num_frames)
-                start = int(indices[0])
+                start = int(window[0])
                 seg = full[start:start + T]
                 if len(seg) < T:
                     pad = np.repeat(
@@ -119,9 +147,9 @@ class ClipDataset:
                         T - len(seg), axis=0,
                     )
                     seg = np.concatenate([seg, pad], axis=0)
-                sensor = seg.astype(np.float32)
+                sensor = seg[:: self.frame_stride].astype(np.float32)
             else:
-                sensor = np.zeros((T, 4), dtype=np.float32)
+                sensor = np.zeros((T_out, 4), dtype=np.float32)
             return {
                 "frames": frames, "sensor": sensor,
                 "target": np.int64(rec.label), "id": rec.video_id,
@@ -131,8 +159,8 @@ class ClipDataset:
             # zero-tensor fallback keeps throughput when clips are broken
             # (reference nexar_videos.py:479-489)
             return {
-                "frames": np.zeros((T, S, S, 3), dtype=np.uint8),
-                "sensor": np.zeros((T, 4), dtype=np.float32),
+                "frames": np.zeros((T_out, oh, ow, 3), dtype=np.uint8),
+                "sensor": np.zeros((T_out, 4), dtype=np.float32),
                 "target": np.int64(rec.label), "id": rec.video_id,
                 "error": True,
             }

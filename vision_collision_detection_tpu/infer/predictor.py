@@ -43,20 +43,64 @@ class CollisionPredictor:
         self.params = params
         self.batch_stats = batch_stats or {}
         self.class_names = tuple(cfg.data.class_names)
-        aug = cfg.augment
-        S = cfg.data.frame_size
-        dtype = jnp.dtype(cfg.model.dtype)
+        self._forward_cache = {}
+
+    def _make_forward(self, folded_stride: bool):
+        """jitted uint8 → probs. With folded_stride the dataset already
+        decoded every k-th frame (k = model.frame_subsample), so the model's
+        internal subsample is disabled — same math as the reference's
+        load-50-drop-half (/root/reference/nexar_arch.py:412-415), at half
+        the decode + host→device cost."""
+        key = bool(folded_stride)
+        if key in self._forward_cache:
+            return self._forward_cache[key]
+        mcfg = self.cfg.model
+        if folded_stride:
+            import dataclasses
+
+            mcfg = dataclasses.replace(mcfg, frame_subsample=1)
+        model = build_model(mcfg)
+        aug = self.cfg.augment
+        S = self.cfg.data.frame_size
+        dtype = jnp.dtype(mcfg.dtype)
 
         @jax.jit
         def _forward(frames_u8):
             x = eval_preprocess(frames_u8, aug, S, dtype)
-            logits = self.model.apply(
+            logits = model.apply(
                 {"params": self.params, "batch_stats": self.batch_stats},
                 x, train=False,
             )
             return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
-        self._forward = _forward
+        self._forward_cache[key] = _forward
+        return _forward
+
+    @property
+    def _forward(self):
+        return self._make_forward(False)
+
+    def _fold_stride(self) -> int:
+        m = self.cfg.model
+        T = self.cfg.data.num_frames
+        if m.frame_subsample > 1 and T > m.subsample_threshold:
+            return m.frame_subsample
+        return 1
+
+    def _content_box(self, sample_path: str):
+        """Rectangular decode canvas = letterbox content dims of this video:
+        ship content rows only, pad black bars on-device."""
+        from vision_collision_detection_tpu.ops.letterbox import (
+            letterbox_geometry,
+        )
+
+        info = probe(sample_path)
+        nh, nw, _, _ = letterbox_geometry(
+            info.height, info.width, self.cfg.data.frame_size
+        )
+        # even dims keep layouts friendly; round up within the canvas
+        return (min(nh + nh % 2, self.cfg.data.frame_size),
+                min(nw + nw % 2, self.cfg.data.frame_size))
 
     # ------------------------------------------------------------------
     @classmethod
@@ -121,15 +165,22 @@ class CollisionPredictor:
             for i, p in enumerate(paths)
         ]
         dc = self.cfg.data
+        stride = self._fold_stride()
+        try:
+            content_box = self._content_box(paths[0])
+        except Exception:
+            content_box = None
         ds = ClipDataset(
             records, fps=dc.fps, duration=dc.duration,
             frame_size=dc.frame_size, sample_strategy=sample_strategy,
-            class_names=self.class_names,
+            class_names=self.class_names, frame_stride=stride,
+            content_box=content_box,
         )
         loader = ClipLoader(ds, batch_size, num_workers=num_workers)
+        forward = self._make_forward(stride > 1)
         results: List[Dict] = []
         for batch in device_prefetch(iter(loader), keys=("frames",)):
-            probs = np.asarray(self._forward(batch["frames"]))
+            probs = np.asarray(forward(batch["frames"]))
             for i in range(len(batch["id"])):
                 if batch["error"][i]:
                     results.append({

@@ -138,13 +138,16 @@ struct Reader {
 
 // Reference letterbox arithmetic (/root/reference/nexar_video_aug.py:713-719):
 // double-precision scale, int-floor new dims, centered // 2 padding.
-void letterbox_geometry(int h, int w, int target, int* new_h, int* new_w,
-                        int* pad_h, int* pad_w) {
-  double scale = std::min((double)target / h, (double)target / w);
+// Generalized to rectangular targets (square is the reference case); a
+// rectangular content box lets the Python side ship only content rows to the
+// device and pad the black bars there (transfer-bandwidth optimization).
+void letterbox_geometry(int h, int w, int target_h, int target_w, int* new_h,
+                        int* new_w, int* pad_h, int* pad_w) {
+  double scale = std::min((double)target_h / h, (double)target_w / w);
   *new_h = (int)(h * scale);
   *new_w = (int)(w * scale);
-  *pad_h = (target - *new_h) / 2;
-  *pad_w = (target - *new_w) / 2;
+  *pad_h = (target_h - *new_h) / 2;
+  *pad_w = (target_w - *new_w) / 2;
 }
 
 }  // namespace
@@ -197,11 +200,8 @@ long vcd_decode(const char* path, const long* indices, long n_indices,
   const int out_h = target_h > 0 ? target_h : src_h;
   int sc_w = out_w, sc_h = out_h, pad_h = 0, pad_w = 0;
   if (letterbox) {
-    if (out_w != out_h) {
-      set_error("letterbox requires square target");
-      return -1;
-    }
-    letterbox_geometry(src_h, src_w, out_w, &sc_h, &sc_w, &pad_h, &pad_w);
+    letterbox_geometry(src_h, src_w, out_h, out_w, &sc_h, &sc_w, &pad_h,
+                       &pad_w);
   }
 
   // SWS_AREA approximates the antialiased downscale the reference gets from

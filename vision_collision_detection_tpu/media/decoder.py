@@ -103,15 +103,18 @@ def probe(path: str) -> VideoInfo:
 def decode_frames(
     path: str,
     indices: Sequence[int],
-    target_size: Optional[int] = None,
+    target_size=None,
     letterbox: bool = True,
     pad_to_count: bool = True,
 ) -> np.ndarray:
     """Decode `indices` (ascending) → uint8 [len(indices), H, W, 3].
 
-    With target_size set and letterbox=True, frames come back already
-    letterboxed to target_size² on the host (swscale), so the device sees
-    fixed shapes. Frames past EOF are padded with the last decoded frame;
+    ``target_size`` may be an int (square) or an ``(h, w)`` tuple; with
+    letterbox=True, frames come back aspect-preserving-scaled with centered
+    black padding inside that canvas on the host (swscale), so the device
+    sees fixed shapes. A rectangular canvas matching the content aspect lets
+    callers ship only content rows and pad to square on-device (transfer
+    optimization). Frames past EOF are padded with the last decoded frame;
     raises MediaError if nothing decodes.
     """
     lib = _get_lib()
@@ -120,7 +123,10 @@ def decode_frames(
     if n == 0:
         raise ValueError("empty indices")
     if target_size is not None:
-        h = w = int(target_size)
+        if isinstance(target_size, (tuple, list)):
+            h, w = int(target_size[0]), int(target_size[1])
+        else:
+            h = w = int(target_size)
     else:
         info = probe(path)
         h, w = info.height, info.width
