@@ -19,10 +19,15 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
 class TemporalAttention(nn.Module):
+    """MHA with an explicit attention matrix, sown to ``intermediates`` so
+    the attention-visualization path (reference
+    /root/reference/nexar_arch.py:513-603) can read per-frame weights."""
+
     dim: int  # feature dim D (unchanged)
     num_heads: int = 4
     max_seq_length: int = 30
@@ -36,20 +41,38 @@ class TemporalAttention(nn.Module):
             raise ValueError(
                 f"sequence length {T} exceeds max_seq_length={self.max_seq_length}"
             )
+        if D % self.num_heads:
+            raise ValueError(f"dim {D} not divisible by {self.num_heads} heads")
+        dh = D // self.num_heads
         pos = self.param(
             "pos_embedding",
             nn.initializers.normal(stddev=0.02),
             (self.max_seq_length, D),
         )
         h = x.astype(self.dtype) + pos[:T].astype(self.dtype)
-        h = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads,
-            dtype=self.dtype,
-            dropout_rate=self.dropout,
-            deterministic=not train,
-            name="mha",
-        )(h, h)
-        h = nn.LayerNorm(dtype=self.dtype, name="norm")(h + x.astype(self.dtype))
+
+        def heads(name):
+            y = nn.Dense(D, dtype=self.dtype, name=name)(h)
+            return y.reshape(B, T, self.num_heads, dh).transpose(0, 2, 1, 3)
+
+        q, k, v = heads("query"), heads("key"), heads("value")
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) / jnp.sqrt(dh).astype(jnp.float32)
+        attn = jax.nn.softmax(logits, axis=-1)  # [B, H, T, T]
+        self.sow("intermediates", "attention_weights", attn)
+        attn_c = attn.astype(self.dtype)
+        if train and self.dropout > 0:
+            keep = 1.0 - self.dropout
+            mask = jax.random.bernoulli(self.make_rng("dropout"), keep,
+                                        attn_c.shape)
+            attn_c = jnp.where(mask, attn_c / keep, 0.0).astype(self.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn_c, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, T, D)
+        out = nn.Dense(D, dtype=self.dtype, name="out")(out)
+        h = nn.LayerNorm(dtype=self.dtype, name="norm")(
+            out + x.astype(self.dtype)
+        )
         return jnp.mean(h, axis=1).astype(jnp.float32)
 
     @staticmethod

@@ -46,10 +46,32 @@ def train_preprocess(key, frames_u8, cfg: AugmentConfig, target_size: int,
 
 
 def eval_preprocess(frames_u8, cfg: AugmentConfig, target_size: int,
-                    out_dtype=jnp.bfloat16):
+                    out_dtype=jnp.bfloat16, use_pallas: str = "auto"):
     """Traceable body for the val transform (mode='val': letterbox +
     normalize only, /root/reference/nexar_video_aug.py:636-700 with
-    enable_custom_augmentation=False)."""
+    enable_custom_augmentation=False).
+
+    When the input is already content-sized (decoder shipped letterbox
+    content rows) the whole op is a single fused Pallas kernel on TPU
+    (dequant + normalize + pad, one VMEM pass)."""
+    h, w = frames_u8.shape[-3], frames_u8.shape[-2]
+    content_sized = (
+        frames_u8.dtype == jnp.uint8
+        and h <= target_size and w <= target_size
+        and (h == target_size or w == target_size)
+    )
+    if content_sized and use_pallas != "never":
+        from vision_collision_detection_tpu.ops.pallas_ops import (
+            fused_dequant_normalize_pad,
+            pallas_available,
+        )
+
+        if use_pallas == "force" or pallas_available():
+            return fused_dequant_normalize_pad(
+                frames_u8, target_size, cfg.normalize_mean,
+                cfg.normalize_std, out_dtype,
+                interpret=not pallas_available(),
+            )
     x = frames_u8.astype(jnp.float32) / 255.0
     x = letterbox_resize(x, target_size)
     x = normalize_video(x, cfg.normalize_mean, cfg.normalize_std)
