@@ -16,7 +16,6 @@ reference uses for eval gathers, nexar_complete_with_validation.py:838-900).
 
 from __future__ import annotations
 
-import collections
 from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, Optional
 
@@ -153,13 +152,19 @@ def device_prefetch(
     depth: int = 2,
     keys=("frames", "sensor", "target"),
 ):
-    """Double-buffer host batches onto the device.
+    """Pipeline host batches onto the device from a producer thread.
 
-    jax.device_put is asynchronous: keeping `depth` batches in flight overlaps
-    host decode + transfer with device compute (the reference gets this from
-    DataLoader workers + non_blocking .to(device)).
+    The producer thread drains the loader and issues jax.device_put while the
+    consumer computes — so decode (GIL-free C), host→device transfer, and
+    device compute overlap even on a single host core (the reference gets a
+    weaker version of this from DataLoader workers + non_blocking
+    .to(device)).
     """
-    buf = collections.deque()
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+    _DONE = object()
 
     def put(batch):
         out = dict(batch)
@@ -167,9 +172,20 @@ def device_prefetch(
             out[k] = jax.device_put(batch[k], sharding)
         return out
 
-    for batch in iterator:
-        buf.append(put(batch))
-        if len(buf) >= depth:
-            yield buf.popleft()
-    while buf:
-        yield buf.popleft()
+    def producer():
+        try:
+            for batch in iterator:
+                q.put(put(batch))
+            q.put(_DONE)
+        except BaseException as e:  # surface errors in the consumer
+            q.put(e)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _DONE:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        yield item

@@ -47,7 +47,8 @@ def _kernel(in_ref, out_ref, *, ch, cw3, S, S3, pad_h, pad_w3, mean, std,
 
     # black bars: the normalized value of 0
     out_ref[0] = jnp.broadcast_to(pad_row, (S, S3))
-    x = in_ref[0].astype(jnp.float32)
+    # Mosaic has no direct uint8→f32 cast; widen through int32 first.
+    x = in_ref[0].astype(jnp.int32).astype(jnp.float32)
     y = x * inv255_std + bias
     out_ref[0, pad_h:pad_h + ch, pad_w3:pad_w3 + cw3] = y.astype(out_dtype)
 

@@ -395,6 +395,18 @@ class Trainer:
                 self.log.info("early stopping at epoch %d", epoch)
                 break
 
+        if self.strategy.is_main and self.history.records:
+            try:
+                from vision_collision_detection_tpu.obs.plots import (
+                    plot_training_curves,
+                )
+
+                plot_training_curves(
+                    self.history.to_dataframe(),
+                    os.path.join(self.run_dir, "training_curves.png"),
+                )
+            except Exception as e:  # plotting must never kill a run
+                self.log.warning("training-curve plot failed: %s", e)
         # reload best for subsequent test/inference (reference :1096-1098)
         if self.store.exists("best"):
             self.load_role("best")
@@ -427,6 +439,18 @@ class Trainer:
             self.load_role(role)
             self.log.info("testing with checkpoint role %r", role)
         metrics = self.evaluate(self.test_loader)
+        if self.strategy.is_main and metrics.get("confusion_matrix"):
+            try:
+                from vision_collision_detection_tpu.obs.plots import (
+                    plot_confusion_matrix,
+                )
+
+                plot_confusion_matrix(
+                    metrics["confusion_matrix"], self.cfg.data.class_names,
+                    os.path.join(self.run_dir, "confusion_matrix.png"),
+                )
+            except Exception as e:
+                self.log.warning("confusion-matrix plot failed: %s", e)
         if self.strategy.is_main:
             save_metrics_json(
                 os.path.join(self.run_dir, "test_results.json"),
