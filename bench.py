@@ -137,17 +137,23 @@ def bench_tpu_pipeline(paths, cfg, forward) -> float:
         forward(batch["frames"]).block_until_ready()
         break
 
-    n = 0
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(PASSES):
-        for batch in device_prefetch(iter(loader), keys=("frames",)):
-            out = forward(batch["frames"])
-            n += batch["frames"].shape[0]
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
-    log(f"tpu pipeline: {n} clips in {dt:.2f}s → {n / dt:.2f} clips/s")
-    return n / dt
+    # best-of-2: the TPU tunnel's throughput fluctuates run to run; the max
+    # isolates pipeline capability from transient tunnel state
+    best = 0.0
+    for trial in range(2):
+        n = 0
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(PASSES):
+            for batch in device_prefetch(iter(loader), keys=("frames",)):
+                out = forward(batch["frames"])
+                n += batch["frames"].shape[0]
+        out.block_until_ready()
+        dt = time.perf_counter() - t0
+        log(f"tpu pipeline trial {trial}: {n} clips in {dt:.2f}s "
+            f"→ {n / dt:.2f} clips/s")
+        best = max(best, n / dt)
+    return best
 
 
 def bench_reference_style(paths, cfg, forward) -> float:
@@ -197,16 +203,18 @@ def bench_reference_style(paths, cfg, forward) -> float:
 
     fwd1(jnp.asarray(clip[None])).block_until_ready()
 
-    t0 = time.perf_counter()
-    out = None
-    for p in paths[:BASELINE_CLIPS]:
-        clip = one_clip(p)
-        out = fwd1(jnp.asarray(clip[None]))
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
-    rate = BASELINE_CLIPS / dt
-    log(f"reference-style pipeline: {BASELINE_CLIPS} clips in {dt:.2f}s "
-        f"→ {rate:.2f} clips/s")
+    rate = 0.0
+    for trial in range(2):
+        t0 = time.perf_counter()
+        out = None
+        for p in paths[:BASELINE_CLIPS]:
+            clip = one_clip(p)
+            out = fwd1(jnp.asarray(clip[None]))
+        out.block_until_ready()
+        dt = time.perf_counter() - t0
+        log(f"reference-style pipeline trial {trial}: {BASELINE_CLIPS} clips "
+            f"in {dt:.2f}s → {BASELINE_CLIPS / dt:.2f} clips/s")
+        rate = max(rate, BASELINE_CLIPS / dt)
     return rate
 
 
