@@ -34,8 +34,8 @@ CLIP_FPS = 10
 SRC_H, SRC_W = 720, 1280  # dashcam-typical 720p
 FRAME_SIZE = 224
 BATCH = 8
-PASSES = 3
-BASELINE_CLIPS = 4
+PASSES = 4
+BASELINE_CLIPS = 6
 
 
 def log(msg: str) -> None:
@@ -146,7 +146,7 @@ def bench_tpu_pipeline(paths, cfg, forward) -> float:
         out = None
         for _ in range(PASSES):
             for batch in device_prefetch(iter(loader), keys=("frames",)):
-                out = forward(batch["frames"])
+                out = forward(batch["frames"])  # async dispatch
                 n += batch["frames"].shape[0]
         out.block_until_ready()
         dt = time.perf_counter() - t0

@@ -167,6 +167,22 @@ class ClipDataset:
 
     __getitem__ = get
 
+    def show_batch(self, out_dir: str, indices: Optional[Sequence[int]] = None,
+                   max_clips: int = 4, fps: Optional[float] = None) -> str:
+        """Preview-export a few samples as MP4s + an HTML grid
+        (reference show_batch, /root/reference/nexar_videos.py:498-820).
+        Returns the HTML path."""
+        from vision_collision_detection_tpu.data.loader import collate
+        from vision_collision_detection_tpu.obs.viz import export_batch_preview
+
+        idx = list(indices) if indices is not None else list(
+            range(min(max_clips, len(self)))
+        )
+        batch = collate([self.get(i) for i in idx])
+        return export_batch_preview(
+            batch, out_dir, fps=fps or self.fps, max_clips=max_clips
+        )
+
 
 def _records_from_df(
     df: pd.DataFrame,
@@ -281,3 +297,7 @@ def create_datasets_from_directories(
         df, class_names=class_names, seed=seed,
         id_column=id_column, label_column=label_column, **dataset_kwargs,
     )
+
+
+# Reference-name alias (/root/reference/nexar_videos.py:820).
+create_datasets_with_multiple_dirs = create_datasets_from_directories

@@ -118,12 +118,120 @@ def convert_convnext(sd: Dict, depths) -> Dict:
     return {"params": params, "batch_stats": {}}
 
 
+# ---------------------------------------------------------------------------
+# MobileNetV2 (torchvision naming: features.N.conv.{...}, torchvision>=0.9)
+# ---------------------------------------------------------------------------
+def convert_mobilenet_v2(sd: Dict) -> Dict:
+    from vision_collision_detection_tpu.models.backbones.mobilenet import (
+        _V2_TABLE,
+    )
+
+    params: Dict = {}
+    stats: Dict = {}
+    params["stem_conv"] = {"kernel": _conv(sd, "features.0.0")}
+    params["stem_bn"], stats["stem_bn"] = _bn(sd, "features.0.1")
+
+    feat_idx = 1
+    blk = 0
+    for t, c, n, s in _V2_TABLE:
+        for i in range(n):
+            src = f"features.{feat_idx}.conv"
+            p: Dict = {}
+            st: Dict = {}
+            if t == 1:
+                # no expand: conv.0 = dw ConvBNAct, conv.1/2 = project
+                p["dw_conv"] = {"kernel": _dwconv(sd, f"{src}.0.0")}
+                p["dw_bn"], st["dw_bn"] = _bn(sd, f"{src}.0.1")
+                p["project_conv"] = {"kernel": _conv(sd, f"{src}.1")}
+                p["project_bn"], st["project_bn"] = _bn(sd, f"{src}.2")
+            else:
+                p["expand_conv"] = {"kernel": _conv(sd, f"{src}.0.0")}
+                p["expand_bn"], st["expand_bn"] = _bn(sd, f"{src}.0.1")
+                p["dw_conv"] = {"kernel": _dwconv(sd, f"{src}.1.0")}
+                p["dw_bn"], st["dw_bn"] = _bn(sd, f"{src}.1.1")
+                p["project_conv"] = {"kernel": _conv(sd, f"{src}.2")}
+                p["project_bn"], st["project_bn"] = _bn(sd, f"{src}.3")
+            params[f"block{blk}"] = p
+            stats[f"block{blk}"] = st
+            feat_idx += 1
+            blk += 1
+    params["head_conv"] = {"kernel": _conv(sd, f"features.{feat_idx}.0")}
+    params["head_bn"], stats["head_bn"] = _bn(sd, f"features.{feat_idx}.1")
+    return {"params": params, "batch_stats": stats}
+
+
+# ---------------------------------------------------------------------------
+# EfficientNetV2 (torchvision naming: features.N.M.block.{...})
+# ---------------------------------------------------------------------------
+def convert_efficientnet_v2(sd: Dict, table, stem_name="features.0") -> Dict:
+    params: Dict = {}
+    stats: Dict = {}
+    params["stem_conv"] = {"kernel": _conv(sd, f"{stem_name}.0")}
+    params["stem_bn"], stats["stem_bn"] = _bn(sd, f"{stem_name}.1")
+
+    blk = 0
+    for stage_idx, (kind, expand, kernel, stride, out_ch, repeats) in enumerate(
+        table, start=1
+    ):
+        for i in range(repeats):
+            src = f"features.{stage_idx}.{i}.block"
+            p: Dict = {}
+            st: Dict = {}
+            if kind == "fused":
+                if expand != 1:
+                    p["expand_conv"] = {"kernel": _conv(sd, f"{src}.0.0")}
+                    p["expand_bn"], st["expand_bn"] = _bn(sd, f"{src}.0.1")
+                    p["project_conv"] = {"kernel": _conv(sd, f"{src}.1.0")}
+                    p["project_bn"], st["project_bn"] = _bn(sd, f"{src}.1.1")
+                else:
+                    p["project_conv"] = {"kernel": _conv(sd, f"{src}.0.0")}
+                    p["project_bn"], st["project_bn"] = _bn(sd, f"{src}.0.1")
+            else:  # MBConv with SE
+                p["expand_conv"] = {"kernel": _conv(sd, f"{src}.0.0")}
+                p["expand_bn"], st["expand_bn"] = _bn(sd, f"{src}.0.1")
+                p["dw_conv"] = {"kernel": _dwconv(sd, f"{src}.1.0")}
+                p["dw_bn"], st["dw_bn"] = _bn(sd, f"{src}.1.1")
+                p["se"] = {
+                    "fc1": {"kernel": _conv(sd, f"{src}.2.fc1"),
+                            "bias": _t(sd[f"{src}.2.fc1.bias"])},
+                    "fc2": {"kernel": _conv(sd, f"{src}.2.fc2"),
+                            "bias": _t(sd[f"{src}.2.fc2.bias"])},
+                }
+                p["project_conv"] = {"kernel": _conv(sd, f"{src}.3.0")}
+                p["project_bn"], st["project_bn"] = _bn(sd, f"{src}.3.1")
+            params[f"block{blk}"] = p
+            stats[f"block{blk}"] = st
+            blk += 1
+    head = f"features.{len(table) + 1}"
+    params["head_conv"] = {"kernel": _conv(sd, f"{head}.0")}
+    params["head_bn"], stats["head_bn"] = _bn(sd, f"{head}.1")
+    return {"params": params, "batch_stats": stats}
+
+
+def _effnet_table(name):
+    from vision_collision_detection_tpu.models.backbones.efficientnet import (
+        _V2_L,
+        _V2_M,
+        _V2_S,
+    )
+
+    return {"efficientnet_v2_s": _V2_S, "efficientnet_v2_m": _V2_M,
+            "efficientnet_v2_l": _V2_L}[name][1]
+
+
 _CONVERTERS = {
     "resnet18": lambda sd: convert_resnet(sd, (2, 2, 2, 2), False),
     "resnet50": lambda sd: convert_resnet(sd, (3, 4, 6, 3), True),
     "convnext_tiny": lambda sd: convert_convnext(sd, (3, 3, 9, 3)),
     "convnext_base": lambda sd: convert_convnext(sd, (3, 3, 27, 3)),
     "convnext_large": lambda sd: convert_convnext(sd, (3, 3, 27, 3)),
+    "mobilenet_v2": convert_mobilenet_v2,
+    "efficientnet_v2_s": lambda sd: convert_efficientnet_v2(
+        sd, _effnet_table("efficientnet_v2_s")),
+    "efficientnet_v2_m": lambda sd: convert_efficientnet_v2(
+        sd, _effnet_table("efficientnet_v2_m")),
+    "efficientnet_v2_l": lambda sd: convert_efficientnet_v2(
+        sd, _effnet_table("efficientnet_v2_l")),
 }
 
 
