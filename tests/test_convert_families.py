@@ -197,6 +197,70 @@ def test_efficientnet_v2_s_parity():
     _parity(m, "efficientnet_v2_s")
 
 
+class TorchInvertedResidualV3(tnn.Module):
+    def __init__(self, cin, k, exp, cout, use_se, use_hs, stride):
+        super().__init__()
+        self.use_res = stride == 1 and cin == cout
+        act = tnn.Hardswish if use_hs else tnn.ReLU
+        layers = []
+        if exp != cin:
+            layers.append(cna(cin, exp, k=1, act_layer=act))
+        layers.append(cna(exp, exp, k=k, stride=stride, groups=exp,
+                          act_layer=act))
+        if use_se:
+            squeeze = _make_div(exp // 4)
+            layers.append(TorchSEv3(exp, squeeze))
+        layers.append(cna(exp, cout, k=1, act=False))
+        self.block = tnn.Sequential(*layers)
+
+    def forward(self, x):
+        y = self.block(x)
+        return x + y if self.use_res else y
+
+
+def _make_div(v, d=8):
+    out = max(d, int(v + d / 2) // d * d)
+    return out + d if out < 0.9 * v else out
+
+
+class TorchSEv3(tnn.Module):
+    def __init__(self, ch, squeeze):
+        super().__init__()
+        self.fc1 = tnn.Conv2d(ch, squeeze, 1)
+        self.fc2 = tnn.Conv2d(squeeze, ch, 1)
+
+    def forward(self, x):
+        s = x.mean((2, 3), keepdim=True)
+        s = tnn.functional.hardsigmoid(self.fc2(torch.relu(self.fc1(s))))
+        return x * s
+
+
+class TorchMobileNetV3Small(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        from vision_collision_detection_tpu.models.backbones.mobilenet import (
+            _V3_SMALL_TABLE,
+        )
+
+        feats = [cna(3, 16, k=3, stride=2, act_layer=tnn.Hardswish)]
+        cin = 16
+        for k, exp, out, se, hs, s in _V3_SMALL_TABLE:
+            feats.append(TorchInvertedResidualV3(cin, k, exp, out, se, hs, s))
+            cin = out
+        feats.append(cna(cin, 576, k=1, act_layer=tnn.Hardswish))
+        self.features = tnn.Sequential(*feats)
+
+    def forward(self, x):
+        return self.features(x).mean(dim=(2, 3))
+
+
+def test_mobilenet_v3_small_parity():
+    torch.manual_seed(2)
+    m = TorchMobileNetV3Small()
+    _randomize_bn(m)
+    _parity(m, "mobilenet_v3_small")
+
+
 def test_unsupported_backbone_raises():
     with pytest.raises(NotImplementedError):
-        convert_torch_state_dict({}, "mobilenet_v3_small")
+        convert_torch_state_dict({}, "vivit_small")

@@ -91,10 +91,15 @@ def test_1_vs_8_device_parity(dp):
     train-mode BatchNorm statistics are intrinsically per-shard (torch DDP
     has the same property) and dropout patterns differ by layout.
     """
+    # SGD for the parity check: Adam's first-step m/sqrt(v) amplifies
+    # psum reduction-order roundoff on near-zero grads into ~lr-sized
+    # param flips; SGD keeps the update proportional to the grad so the
+    # comparison measures the collective math, not optimizer chaos.
     cfg = tiny_config(**{
         "model.backbone": "convnext_tiny",
         "model.dropout": 0.0,
         "data.frame_size": 64,
+        "optim.optimizer": "sgd",
     })
     rng = np.random.default_rng(3)
     frames = (rng.random((8, 4, 64, 64, 3)) * 255).astype(np.uint8)

@@ -135,6 +135,7 @@ class ModelConfig:
     # ViViT-specific
     patch_size: int = 14
     image_size: int = 224
+    remat: bool = False  # rematerialize transformer blocks (memory for FLOPs)
 
     def backbone_feature_dim(self) -> int:
         from vision_collision_detection_tpu.models.backbones import feature_dim

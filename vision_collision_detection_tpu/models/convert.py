@@ -208,6 +208,51 @@ def convert_efficientnet_v2(sd: Dict, table, stem_name="features.0") -> Dict:
     return {"params": params, "batch_stats": stats}
 
 
+# ---------------------------------------------------------------------------
+# MobileNetV3-Small (torchvision naming: features.N.block.{...})
+# ---------------------------------------------------------------------------
+def convert_mobilenet_v3_small(sd: Dict) -> Dict:
+    from vision_collision_detection_tpu.models.backbones.mobilenet import (
+        _V3_SMALL_TABLE,
+    )
+
+    params: Dict = {}
+    stats: Dict = {}
+    params["stem_conv"] = {"kernel": _conv(sd, "features.0.0")}
+    params["stem_bn"], stats["stem_bn"] = _bn(sd, "features.0.1")
+
+    cin = 16
+    for blk, (k, exp, out, use_se, hs, stride) in enumerate(_V3_SMALL_TABLE):
+        src = f"features.{blk + 1}.block"
+        p: Dict = {}
+        st: Dict = {}
+        li = 0
+        if exp != cin:
+            p["expand_conv"] = {"kernel": _conv(sd, f"{src}.{li}.0")}
+            p["expand_bn"], st["expand_bn"] = _bn(sd, f"{src}.{li}.1")
+            li += 1
+        p["dw_conv"] = {"kernel": _dwconv(sd, f"{src}.{li}.0")}
+        p["dw_bn"], st["dw_bn"] = _bn(sd, f"{src}.{li}.1")
+        li += 1
+        if use_se:
+            p["se"] = {
+                "fc1": {"kernel": _conv(sd, f"{src}.{li}.fc1"),
+                        "bias": _t(sd[f"{src}.{li}.fc1.bias"])},
+                "fc2": {"kernel": _conv(sd, f"{src}.{li}.fc2"),
+                        "bias": _t(sd[f"{src}.{li}.fc2.bias"])},
+            }
+            li += 1
+        p["project_conv"] = {"kernel": _conv(sd, f"{src}.{li}.0")}
+        p["project_bn"], st["project_bn"] = _bn(sd, f"{src}.{li}.1")
+        params[f"block{blk}"] = p
+        stats[f"block{blk}"] = st
+        cin = out
+    head_idx = len(_V3_SMALL_TABLE) + 1
+    params["head_conv"] = {"kernel": _conv(sd, f"features.{head_idx}.0")}
+    params["head_bn"], stats["head_bn"] = _bn(sd, f"features.{head_idx}.1")
+    return {"params": params, "batch_stats": stats}
+
+
 def _effnet_table(name):
     from vision_collision_detection_tpu.models.backbones.efficientnet import (
         _V2_L,
@@ -226,6 +271,7 @@ _CONVERTERS = {
     "convnext_base": lambda sd: convert_convnext(sd, (3, 3, 27, 3)),
     "convnext_large": lambda sd: convert_convnext(sd, (3, 3, 27, 3)),
     "mobilenet_v2": convert_mobilenet_v2,
+    "mobilenet_v3_small": convert_mobilenet_v3_small,
     "efficientnet_v2_s": lambda sd: convert_efficientnet_v2(
         sd, _effnet_table("efficientnet_v2_s")),
     "efficientnet_v2_m": lambda sd: convert_efficientnet_v2(

@@ -55,6 +55,7 @@ class ViViT(nn.Module):
     num_classes: int = 3
     max_frames: int = 64
     dropout: float = 0.0
+    remat: bool = False  # rematerialize blocks (32-frame 336px training)
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -76,11 +77,15 @@ class ViViT(nn.Module):
             "spatial_pos", nn.initializers.normal(0.02), (n_patches, self.dim)
         )
         tokens = tokens + spatial_pos.astype(self.dtype)
+        # jax.checkpoint per block trades FLOPs for activation memory — at
+        # 32 frames × (336/14)² = 576 tokens the spatial activations dominate
+        block_cls = (nn.remat(TransformerBlock, static_argnums=(2,))
+                     if self.remat else TransformerBlock)
         for i in range(self.spatial_layers):
-            tokens = TransformerBlock(
+            tokens = block_cls(
                 dim=self.dim, num_heads=self.num_heads, dropout=self.dropout,
                 dtype=self.dtype, name=f"spatial_{i}",
-            )(tokens, train=train)
+            )(tokens, train)
         tokens = nn.LayerNorm(dtype=self.dtype, name="spatial_norm")(tokens)
 
         # Per-frame summary → temporal sequence [B, T, dim].
@@ -118,6 +123,7 @@ def build_vivit(cfg: ModelConfig) -> ViViT:
         num_classes=cfg.num_classes,
         patch_size=cfg.patch_size,
         dropout=0.0,
+        remat=cfg.remat,
         dtype=jnp.dtype(cfg.dtype),
         **sizes,
     )
