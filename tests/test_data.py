@@ -125,6 +125,32 @@ class TestLoader:
         assert len(seen) == 8
         assert set(seen) == set(r.video_id for r in ds.records)
 
+    def test_native_batch_equals_per_sample(self, fixture):
+        """The C++ batch decoder path must produce the same batches as the
+        per-sample thread-pool path."""
+        from vision_collision_detection_tpu.data.loader import collate
+
+        ds = self._dataset(fixture)
+        idxs = list(range(4))
+        native = ds.get_batch(idxs, epoch=0)
+        single = collate([ds.get(i, epoch=0) for i in idxs])
+        np.testing.assert_array_equal(native["frames"], single["frames"])
+        np.testing.assert_array_equal(native["target"], single["target"])
+        assert native["id"] == single["id"]
+        np.testing.assert_array_equal(native["error"], single["error"])
+
+    def test_native_batch_bad_clip_zeroed(self):
+        from vision_collision_detection_tpu.data import ClipDataset, ClipRecord
+
+        ds = ClipDataset(
+            [ClipRecord("bad", "/nonexistent.mp4", 2)],
+            fps=5, duration=1, frame_size=16,
+        )
+        batch = ds.get_batch([0])
+        assert batch["error"][0]
+        assert batch["frames"].sum() == 0
+        assert batch["frames"].shape == (1, 5, 16, 16, 3)
+
     def test_device_prefetch(self, fixture):
         import jax
 

@@ -82,6 +82,14 @@ def main(argv=None) -> int:
     out = os.path.join(base_cfg.save_dir, "grid_search_results.csv")
     os.makedirs(base_cfg.save_dir, exist_ok=True)
     df.to_csv(out, index=False)
+    try:
+        from vision_collision_detection_tpu.obs.plots import plot_grid_search
+
+        plot_grid_search(
+            df, os.path.join(base_cfg.save_dir, "grid_search.png")
+        )
+    except Exception as e:
+        print(f"grid plot failed: {e}", file=sys.stderr)
     best = df.iloc[0].to_dict()
     print(json.dumps({"best": best, "summary_csv": out}, indent=2,
                      default=str))

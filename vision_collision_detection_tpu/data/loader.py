@@ -34,6 +34,20 @@ def collate(samples) -> dict:
     }
 
 
+def _pad_collated(batch: dict, target: int) -> dict:
+    """Grow a collated batch to `target` rows with masked dummy samples."""
+    n = len(batch["id"])
+    k = target - n
+    out = dict(batch)
+    for key in ("frames", "sensor", "target"):
+        pad_row = np.zeros_like(batch[key][:1])
+        out[key] = np.concatenate([batch[key]] + [pad_row] * k)
+    out["id"] = list(batch["id"]) + ["__pad__"] * k
+    out["error"] = np.concatenate([batch["error"], np.ones(k, bool)])
+    out["pad"] = np.concatenate([batch["pad"], np.ones(k, bool)])
+    return out
+
+
 def _pad_sample(template: dict) -> dict:
     """Shape-compatible dummy sample; masked out of loss/metrics downstream."""
     return {
@@ -119,6 +133,41 @@ class ClipLoader:
         return -(-n // self.batch_size)
 
     def __iter__(self) -> Iterator[dict]:
+        if getattr(self.dataset, "supports_batch", False):
+            yield from self._iter_native_batches()
+        else:
+            yield from self._iter_per_sample()
+
+    def _iter_native_batches(self) -> Iterator[dict]:
+        """Whole-batch fetches through the C++ batch decoder (its internal
+        thread pool does the parallelism; Python only pipelines batches)."""
+        batches = self._batches()
+        if not batches:
+            return
+        ex = ThreadPoolExecutor(max_workers=2)
+
+        def fetch(b: int):
+            return self.dataset.get_batch(
+                batches[b], self.epoch, num_threads=self.num_workers
+            )
+
+        futures: dict = {}
+        try:
+            depth = min(self.prefetch_batches + 1, len(batches))
+            for b in range(depth):
+                futures[b] = ex.submit(fetch, b)
+            for b in range(len(batches)):
+                if b + depth < len(batches):
+                    futures[b + depth] = ex.submit(fetch, b + depth)
+                batch = futures.pop(b).result()
+                n = len(batch["id"])
+                if self.pad_partial and n < self.batch_size:
+                    batch = _pad_collated(batch, self.batch_size)
+                yield batch
+        finally:
+            ex.shutdown(wait=False, cancel_futures=True)
+
+    def _iter_per_sample(self) -> Iterator[dict]:
         batches = self._batches()
         if not batches:
             return

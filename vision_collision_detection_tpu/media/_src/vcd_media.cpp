@@ -31,9 +31,11 @@ extern "C" {
 }
 
 #include <algorithm>
+#include <atomic>
 #include <cstdio>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <vector>
 
 static thread_local std::string g_last_error;
@@ -293,6 +295,59 @@ long vcd_decode(const char* path, const long* indices, long n_indices,
   av_packet_free(&pkt);
   sws_freeContext(sws);
   return want_pos;
+}
+
+// ---------------------------------------------------------------------------
+// Batch decode: B clips in parallel on an internal std::thread pool — the
+// native data-loader worker replacing the reference's torch DataLoader
+// worker processes (/root/reference/distributed_video_classifier.py:315-341).
+// No Python in the loop: one call fills a contiguous
+// [n_clips, n_per_clip, out_h, out_w, 3] buffer; frames past EOF are padded
+// with the last decoded frame (the reference's policy,
+// /root/reference/nexar_videos.py:429-435); per-clip status lands in
+// frames_written (-1 on error → caller applies its zero-fallback).
+// ---------------------------------------------------------------------------
+long vcd_decode_batch(const char** paths, long n_clips, const long* indices,
+                      long n_per_clip, int target_w, int target_h,
+                      int letterbox, int n_threads, unsigned char* out,
+                      long* frames_written) {
+  if (n_clips <= 0 || n_per_clip <= 0) {
+    set_error("empty batch");
+    return -1;
+  }
+  const size_t clip_bytes =
+      (size_t)n_per_clip * target_h * target_w * 3;
+  std::atomic<long> next{0};
+
+  auto worker = [&]() {
+    while (true) {
+      long i = next.fetch_add(1);
+      if (i >= n_clips) break;
+      unsigned char* dst = out + (size_t)i * clip_bytes;
+      long got = vcd_decode(paths[i], indices + (size_t)i * n_per_clip,
+                            n_per_clip, target_w, target_h, letterbox, dst);
+      if (got <= 0) {
+        std::memset(dst, 0, clip_bytes);
+        frames_written[i] = -1;
+        continue;
+      }
+      for (long f = got; f < n_per_clip; f++) {  // EOF pad
+        std::memcpy(dst + (size_t)f * target_h * target_w * 3,
+                    dst + (size_t)(got - 1) * target_h * target_w * 3,
+                    (size_t)target_h * target_w * 3);
+      }
+      frames_written[i] = got;
+    }
+  };
+
+  int nt = n_threads > 0 ? n_threads
+                         : (int)std::thread::hardware_concurrency();
+  nt = (int)std::max<long>(1, std::min<long>(nt, n_clips));
+  std::vector<std::thread> pool;
+  for (int t = 0; t < nt - 1; t++) pool.emplace_back(worker);
+  worker();
+  for (auto& th : pool) th.join();
+  return 0;
 }
 
 // ---------------------------------------------------------------------------

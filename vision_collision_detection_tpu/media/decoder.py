@@ -58,6 +58,19 @@ def _get_lib():
                     ctypes.POINTER(ctypes.c_ubyte),
                 ]
                 lib.vcd_decode.restype = ctypes.c_long
+                lib.vcd_decode_batch.argtypes = [
+                    ctypes.POINTER(ctypes.c_char_p),
+                    ctypes.c_long,
+                    ctypes.POINTER(ctypes.c_long),
+                    ctypes.c_long,
+                    ctypes.c_int,
+                    ctypes.c_int,
+                    ctypes.c_int,
+                    ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_ubyte),
+                    ctypes.POINTER(ctypes.c_long),
+                ]
+                lib.vcd_decode_batch.restype = ctypes.c_long
                 lib.vcd_encode.argtypes = [
                     ctypes.c_char_p,
                     ctypes.POINTER(ctypes.c_ubyte),
@@ -150,6 +163,46 @@ def decode_frames(
             return out[:got]
         out[got:] = out[got - 1]  # reference pad-with-last-frame policy
     return out
+
+
+def decode_batch(
+    paths: Sequence[str],
+    indices: np.ndarray,
+    target_size,
+    letterbox: bool = True,
+    num_threads: int = 0,
+):
+    """Decode a whole batch natively: the C++ thread pool fills one
+    contiguous uint8 buffer with zero Python in the loop.
+
+    indices: int64 [B, T] (ascending per row). target_size: int or (h, w).
+    → (frames uint8 [B, T, h, w, 3], ok bool [B]); failed clips are zeroed
+    with ok=False (the zero-fallback policy applied natively).
+    """
+    lib = _get_lib()
+    idx = np.ascontiguousarray(np.asarray(indices, dtype=np.int64))
+    if idx.ndim != 2:
+        raise ValueError(f"indices must be [B, T], got {idx.shape}")
+    b, t = idx.shape
+    if len(paths) != b:
+        raise ValueError("paths/indices length mismatch")
+    if isinstance(target_size, (tuple, list)):
+        h, w = int(target_size[0]), int(target_size[1])
+    else:
+        h = w = int(target_size)
+    out = np.empty((b, t, h, w, 3), dtype=np.uint8)
+    written = np.empty((b,), dtype=np.int64)
+    c_paths = (ctypes.c_char_p * b)(*[p.encode() for p in paths])
+    rc = lib.vcd_decode_batch(
+        c_paths, b,
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_long)), t,
+        w, h, 1 if letterbox else 0, int(num_threads),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        written.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+    )
+    if rc != 0:
+        raise MediaError(f"batch decode failed: {_last_error()}")
+    return out, written > 0
 
 
 def encode_video(path: str, frames: np.ndarray, fps: float = 10.0) -> None:
