@@ -119,9 +119,10 @@ def load_datasets(args, cfg):
         from vision_collision_detection_tpu.media.synthetic import generate_dataset
 
         out = os.path.join(cfg.save_dir, "_synthetic_data")
+        # split order guarantees val/test coverage even at 3 clips/class
         csv = generate_dataset(
             out, clips_per_class=args.synthetic, num_frames=cfg.data.num_frames,
-            fps=cfg.data.fps, splits=("train", "train", "train", "val", "test"),
+            fps=cfg.data.fps, splits=("train", "val", "test", "train", "train"),
         )
         df = pd.read_csv(csv).fillna({"sensor_path": ""})
         return create_datasets_with_manual_split(

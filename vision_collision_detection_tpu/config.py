@@ -63,6 +63,10 @@ class DataConfig:
     prefetch_depth: int = 2
     drop_last_train: bool = True
     seed: int = 42
+    # Ship letterbox CONTENT rows only and pad black bars on-device
+    # (bit-exact; ~44% fewer host→device bytes for 16:9 sources). Requires a
+    # probeable first video; disabled automatically when probing fails.
+    content_box_transfer: bool = True
 
     @property
     def num_frames(self) -> int:

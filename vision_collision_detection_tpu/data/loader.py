@@ -147,9 +147,10 @@ class ClipLoader:
         ex = ThreadPoolExecutor(max_workers=2)
 
         def fetch(b: int):
-            return self.dataset.get_batch(
-                batches[b], self.epoch, num_threads=self.num_workers
-            )
+            # num_threads=0 → the C pool sizes itself to the hardware
+            # (num_workers Python threads would oversubscribe small hosts)
+            return self.dataset.get_batch(batches[b], self.epoch,
+                                          num_threads=0)
 
         futures: dict = {}
         try:

@@ -96,6 +96,8 @@ class Trainer:
         dc = cfg.data
         per_host_batch = dc.batch_size * self._local_batch_multiplier()
         pad_partial = getattr(self.strategy, "pad_batches", False)
+        if dc.content_box_transfer:
+            self._enable_content_box(train_ds, val_ds, test_ds)
         self.train_loader = ClipLoader(
             train_ds, per_host_batch, shuffle=True,
             drop_last=dc.drop_last_train, num_workers=dc.num_workers,
@@ -149,6 +151,30 @@ class Trainer:
 
         if cfg.train.resume and self.store.exists("last"):
             self._resume()
+
+    def _enable_content_box(self, *datasets) -> None:
+        """Ship letterbox content rows, pad on device (bit-exact; see
+        ops.letterbox + DataConfig.content_box_transfer). Uses the first
+        train video's aspect; skipped when probing fails or content is
+        already square."""
+        from vision_collision_detection_tpu.media.decoder import probe
+        from vision_collision_detection_tpu.ops.letterbox import (
+            letterbox_geometry,
+        )
+
+        S = self.cfg.data.frame_size
+        try:
+            rec = datasets[0].records[0]
+            info = probe(rec.video_path)
+            nh, nw, _, _ = letterbox_geometry(info.height, info.width, S)
+        except Exception:
+            return
+        box = (min(nh + nh % 2, S), min(nw + nw % 2, S))
+        if box == (S, S):
+            return
+        for ds in datasets:
+            if ds is not None and getattr(ds, "content_box", None) is None:
+                ds.content_box = box
 
     def _local_batch_multiplier(self) -> int:
         # per-host batch = per-device batch × local devices on the data axis
@@ -300,6 +326,11 @@ class Trainer:
             self.cfg.name(), epochs, self.steps_per_epoch,
             len(self.val_loader.dataset),
         )
+        if len(self.val_loader.dataset) == 0:
+            self.log.warning(
+                "validation set is EMPTY: no best-checkpoint tracking or "
+                "early stopping will happen"
+            )
 
         for epoch in range(self.start_epoch, epochs):
             t0 = time.time()
