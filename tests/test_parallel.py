@@ -81,39 +81,57 @@ def test_dp_train_step_runs_and_replicates(dp, batch):
     assert leaf.sharding.is_fully_replicated
 
 
+def _tiny_ln_model():
+    """Tiny LayerNorm-only model (BatchNorm stats are intrinsically
+    per-shard in train mode — torch DDP has the same property — so parity
+    tests need a norm-free-in-batch architecture)."""
+    from vision_collision_detection_tpu.models.vivit import ViViT
+
+    return ViViT(dim=32, spatial_layers=1, temporal_layers=1, num_heads=4,
+                 patch_size=8, num_classes=3, dtype=jnp.float32)
+
+
+def _init_state(model, cfg, lr=1e-4):
+    import flax
+    import optax
+    from vision_collision_detection_tpu.train.steps import TrainState
+
+    S = cfg.data.frame_size
+    T = cfg.data.num_frames
+    variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, T, S, S, 3), jnp.float32),
+    )
+    # SGD: Adam's first-step m/sqrt(v) amplifies psum reduction-order
+    # roundoff on near-zero grads into lr-sized flips; SGD keeps updates
+    # proportional to grads so the comparison measures the collective math.
+    return TrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}), tx=optax.sgd(lr),
+    )
+
+
 def test_1_vs_8_device_parity(dp):
     """DP step over 8 shards == single-device step on the full batch.
 
     The reference establishes seeded identical-init discipline
     (distributed_video_classifier.py:379-412); here we additionally verify
-    the gradient psum reproduces single-device math. Requires a
-    norm-free-in-batch backbone (convnext = LayerNorm) and dropout 0:
-    train-mode BatchNorm statistics are intrinsically per-shard (torch DDP
-    has the same property) and dropout patterns differ by layout.
-    """
-    # SGD for the parity check: Adam's first-step m/sqrt(v) amplifies
-    # psum reduction-order roundoff on near-zero grads into ~lr-sized
-    # param flips; SGD keeps the update proportional to the grad so the
-    # comparison measures the collective math, not optimizer chaos.
-    cfg = tiny_config(**{
-        "model.backbone": "convnext_tiny",
-        "model.dropout": 0.0,
-        "data.frame_size": 64,
-        "optim.optimizer": "sgd",
-    })
+    the gradient psum reproduces single-device math."""
+    cfg = tiny_config(**{"model.dropout": 0.0})
+    model = _tiny_ln_model()
     rng = np.random.default_rng(3)
-    frames = (rng.random((8, 4, 64, 64, 3)) * 255).astype(np.uint8)
+    frames = (rng.random((8, 4, 32, 32, 3)) * 255).astype(np.uint8)
     targets = (np.arange(8) % 3).astype(np.int64)
     mask = np.ones(8, np.float32)
 
-    model, state1 = create_train_state(cfg, jax.random.PRNGKey(0), 10)
+    state1 = _init_state(model, cfg)
     single_step = make_train_step(model, cfg, None, donate=False)
     s1, m1 = single_step(
         state1, jnp.asarray(frames), jnp.asarray(targets), jnp.asarray(mask),
         jax.random.PRNGKey(99),
     )
 
-    _, state8 = create_train_state(cfg, jax.random.PRNGKey(0), 10)
+    state8 = _init_state(model, cfg)
     train_step, _ = dp.make_steps(model, cfg, None)
     sh = dp.data_sharding
     s8, m8 = train_step(

@@ -3,29 +3,55 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 import pytest
 from jax.sharding import PartitionSpec as P
 
 from vision_collision_detection_tpu.config import ExperimentConfig, MeshConfig
+from vision_collision_detection_tpu.models.vivit import ViViT
 from vision_collision_detection_tpu.parallel import create_mesh
 from vision_collision_detection_tpu.parallel.tp import (
     ModelParallelStrategy,
     param_shardings,
 )
-from vision_collision_detection_tpu.train import create_train_state
+from vision_collision_detection_tpu.train import make_train_step
+from vision_collision_detection_tpu.train.steps import TrainState
 
 
-def vivit_config(**over):
-    return ExperimentConfig().override({
+def tp_config():
+    cfg = ExperimentConfig().override({
         "model.backbone": "vivit_small",
         "model.dtype": "float32",
-        "model.patch_size": 8,
+        "model.dropout": 0.0,
         "data.fps": 2,
         "data.duration": 1,
         "data.frame_size": 32,
         "data.batch_size": 1,
-        **over,
+        "optim.optimizer": "sgd",
+        "augment.enabled": False,
+        "augment.horizontal_flip_prob": 0.0,
+        "augment.blur_sigma": 0.0,
     })
+    return cfg
+
+
+def tiny_vivit():
+    # heads=4 and mlp 4*32=128 both divide the model axis (2)
+    return ViViT(dim=32, spatial_layers=2, temporal_layers=1, num_heads=4,
+                 patch_size=8, num_classes=3, dtype=jnp.float32)
+
+
+def init_state(model, cfg):
+    S, T = cfg.data.frame_size, cfg.data.num_frames
+    variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, T, S, S, 3), jnp.float32),
+    )
+    return TrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        tx=optax.sgd(1e-3),
+    )
 
 
 @pytest.fixture(scope="module")
@@ -34,57 +60,43 @@ def mesh():
 
 
 def test_param_sharding_rules(mesh):
-    cfg = vivit_config()
-    _, state = create_train_state(cfg, jax.random.PRNGKey(0), 10)
+    cfg = tp_config()
+    model = tiny_vivit()
+    state = init_state(model, cfg)
     shardings = param_shardings(state.params, mesh)
-    flat = dict(jax.tree_util.tree_leaves_with_path(
-        jax.tree_util.tree_map_with_path(lambda p, s: s, shardings)
-    ))
     specs = {
         jax.tree_util.keystr(path): sh.spec
         for path, sh in jax.tree_util.tree_leaves_with_path(shardings)
     }
-    # attention heads sharded
     q = [v for k, v in specs.items() if "spatial_0" in k and "query" in k
          and "kernel" in k]
     assert q and q[0] == P(None, "model", None)
-    # MLP column/row parallel
     fc1 = [v for k, v in specs.items() if "spatial_0" in k and "mlp_fc1" in k
            and "kernel" in k]
     fc2 = [v for k, v in specs.items() if "spatial_0" in k and "mlp_fc2" in k
            and "kernel" in k]
     assert fc1[0] == P(None, "model") and fc2[0] == P("model", None)
-    # biases / norms replicated
     b = [v for k, v in specs.items() if "norm1" in k and "scale" in k]
     assert b[0] == P()
 
 
 def test_tp_train_step_runs_and_matches_single_device(mesh):
-    cfg = vivit_config(**{"model.dropout": 0.0})
+    cfg = tp_config()
+    model = tiny_vivit()
     strategy = ModelParallelStrategy(mesh)
-
-    model, state = create_train_state(cfg, jax.random.PRNGKey(0), 10)
-    from vision_collision_detection_tpu.train import make_train_step
 
     rng = np.random.default_rng(0)
     frames = (rng.random((8, 2, 32, 32, 3)) * 255).astype(np.uint8)
     targets = (np.arange(8) % 3).astype(np.int64)
     mask = np.ones(8, np.float32)
 
-    # single device reference
-    import dataclasses
-
-    cfg1 = dataclasses.replace(cfg)
-    cfg1.augment.enabled = False
-    cfg1.augment.horizontal_flip_prob = 0.0
-    step1 = make_train_step(model, cfg1, None, donate=False)
-    s1, m1 = step1(state, jnp.asarray(frames), jnp.asarray(targets),
+    state1 = init_state(model, cfg)
+    step1 = make_train_step(model, cfg, None, donate=False)
+    s1, m1 = step1(state1, jnp.asarray(frames), jnp.asarray(targets),
                    jnp.asarray(mask), jax.random.PRNGKey(3))
 
-    # sharded
-    _, state_tp = create_train_state(cfg1, jax.random.PRNGKey(0), 10)
-    state_tp = strategy.shard_state(state_tp)
-    step_tp, eval_tp = strategy.make_steps(model, cfg1, None)
+    state_tp = strategy.shard_state(init_state(model, cfg))
+    step_tp, eval_tp = strategy.make_steps(model, cfg, None)
     s2, m2 = step_tp(
         state_tp,
         jax.device_put(frames, strategy.data_sharding),
@@ -96,10 +108,17 @@ def test_tp_train_step_runs_and_matches_single_device(mesh):
     # sharded params stay sharded after the update
     q_kernel = s2.params["spatial_0"]["attn"]["query"]["kernel"]
     assert not q_kernel.sharding.is_fully_replicated
+    # and match the single-device update
+    np.testing.assert_allclose(
+        np.asarray(q_kernel), np.asarray(s1.params["spatial_0"]["attn"]
+                                         ["query"]["kernel"]),
+        rtol=1e-4, atol=1e-6,
+    )
 
-    out = eval_tp(state_tp := s2,
+    out = eval_tp(s2,
                   jax.device_put(frames, strategy.data_sharding),
                   jax.device_put(targets, strategy.data_sharding),
                   jax.device_put(mask, strategy.data_sharding))
     probs = strategy.to_host(out["probs"])
+    assert probs.shape == (8, 3)
     np.testing.assert_allclose(probs.sum(1), 1.0, atol=1e-5)

@@ -181,6 +181,7 @@ class TrainConfig:
     resume: bool = False  # true mid-training resume (reference lacks this)
     deterministic_data: bool = True
     dashboard: bool = False  # live console+HTML dashboard (obs.dashboard)
+    profile_steps: int = 0  # capture a jax.profiler trace of the first N steps
 
 
 @dataclass

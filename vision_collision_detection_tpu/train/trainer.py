@@ -332,6 +332,10 @@ class Trainer:
                 "early stopping will happen"
             )
 
+        profiling = False
+        if tc.profile_steps > 0 and self.strategy.is_main:
+            jax.profiler.start_trace(os.path.join(self.run_dir, "profile"))
+            profiling = True
         for epoch in range(self.start_epoch, epochs):
             t0 = time.time()
             if viz:
@@ -358,6 +362,11 @@ class Trainer:
                 n_steps += 1
                 if viz:
                     viz.update_train_loss(float(m["loss"]), n_steps)
+                if profiling and n_steps >= tc.profile_steps:
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    self.log.info("profiler trace written to %s",
+                                  os.path.join(self.run_dir, "profile"))
                 if tc.log_every_steps and n_steps % tc.log_every_steps == 0:
                     elapsed = time.time() - t0
                     self.log.info(
@@ -426,6 +435,8 @@ class Trainer:
                 self.log.info("early stopping at epoch %d", epoch)
                 break
 
+        if profiling:
+            jax.profiler.stop_trace()
         if self.strategy.is_main and self.history.records:
             try:
                 from vision_collision_detection_tpu.obs.plots import (
