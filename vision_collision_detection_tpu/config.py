@@ -133,6 +133,12 @@ class ModelConfig:
     max_seq_length: int = 30  # attention positional table (nexar_arch.py:44-47)
     bidirectional: bool = True  # RNN heads (nexar_arch.py:235-239)
     dropout: float = 0.5
+    # IMU sensor fusion: the reference loads synchronized accelerometer
+    # streams (/root/reference/nexar_videos.py:454-477) but its model never
+    # consumes them; enabling this fuses a temporal sensor encoding into the
+    # classifier (requires data.load_sensor_data).
+    use_sensor: bool = False
+    sensor_hidden_dim: int = 64
     frame_subsample: int = 2  # take every k-th frame when T > subsample_threshold
     subsample_threshold: int = 10  # (nexar_arch.py:412-415: ::2 when T>10)
     dtype: str = "bfloat16"  # compute dtype; params stay float32

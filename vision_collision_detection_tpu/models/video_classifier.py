@@ -50,12 +50,14 @@ class VideoClassifierModel(nn.Module):
     max_seq_length: int = 30
     bidirectional: bool = True
     dropout: float = 0.5
+    use_sensor: bool = False
+    sensor_hidden_dim: int = 64
     frame_subsample: int = 2
     subsample_threshold: int = 10
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, frames, train: bool = False):
+    def __call__(self, frames, sensor=None, train: bool = False):
         x = canonicalize_video_layout(frames)
         B, T = x.shape[0], x.shape[1]
         if T > self.subsample_threshold and self.frame_subsample > 1:
@@ -78,6 +80,20 @@ class VideoClassifierModel(nn.Module):
             dtype=self.dtype,
         )
         pooled = head(feats, train=train)  # [B, D_out] fp32
+
+        if self.use_sensor:
+            if sensor is None:
+                raise ValueError("use_sensor=True but no sensor input given")
+            # temporal encoding of the IMU stream [B, T_sensor, 4]:
+            # two Dense layers over channels (MXU matmuls) then masked mean
+            s = sensor.astype(self.dtype)
+            s = nn.Dense(self.sensor_hidden_dim, dtype=self.dtype,
+                         name="sensor_fc1")(s)
+            s = nn.relu(s)
+            s = nn.Dense(self.sensor_hidden_dim, dtype=self.dtype,
+                         name="sensor_fc2")(s)
+            s = jnp.mean(nn.relu(s), axis=1).astype(jnp.float32)
+            pooled = jnp.concatenate([pooled, s], axis=-1)
 
         # Classifier MLP (reference nexar_arch.py:374-385).
         h = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(pooled)
@@ -105,6 +121,8 @@ def build_model(cfg: ModelConfig) -> nn.Module:
         max_seq_length=cfg.max_seq_length,
         bidirectional=cfg.bidirectional,
         dropout=cfg.dropout,
+        use_sensor=cfg.use_sensor,
+        sensor_hidden_dim=cfg.sensor_hidden_dim,
         frame_subsample=cfg.frame_subsample,
         subsample_threshold=cfg.subsample_threshold,
         dtype=jnp.dtype(cfg.dtype),

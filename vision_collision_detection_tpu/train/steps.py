@@ -101,11 +101,16 @@ def create_train_state(cfg: ExperimentConfig, rng: jax.Array,
     if T > cfg.model.subsample_threshold and cfg.model.frame_subsample > 1:
         pass  # model subsamples internally; init with full T
     shape = sample_frames_shape or (1, T, S, S, 3)
+    init_kwargs = {}
+    if cfg.model.use_sensor:
+        init_kwargs["sensor"] = jnp.zeros(
+            (1, T, cfg.data.sensor_dim), jnp.float32
+        )
     # jitted init: one compiled program instead of hundreds of eager op
     # dispatches (pathological through remote-compile TPU tunnels)
-    variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
-        {"params": rng}, jnp.zeros(shape, jnp.float32)
-    )
+    variables = jax.jit(
+        lambda k, x, kw: model.init(k, x, train=False, **kw)
+    )({"params": rng}, jnp.zeros(shape, jnp.float32), init_kwargs)
     if cfg.model.pretrained_path:
         variables = load_pretrained_backbone(
             variables, cfg.model.pretrained_path
@@ -135,19 +140,22 @@ def make_train_step(model, cfg: ExperimentConfig,
     loss_type = cfg.optim.loss_type
     smoothing = cfg.optim.label_smoothing
     dtype = jnp.dtype(cfg.model.dtype)
+    use_sensor = cfg.model.use_sensor
 
-    def step(state: TrainState, frames, targets, sample_mask, key):
+    def step(state: TrainState, frames, targets, sample_mask, key,
+             sensor=None):
         k_pre, k_drop = jax.random.split(key)
         if preprocess:
             x = train_preprocess(k_pre, frames, aug_cfg, S, dtype)
         else:
             x = frames
+        extra = {"sensor": sensor} if use_sensor else {}
 
         def loss_fn(params):
             out, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 x, train=True, rngs={"dropout": k_drop},
-                mutable=["batch_stats"],
+                mutable=["batch_stats"], **extra,
             )
             loss, _ = weighted_loss(
                 out, targets, cw, sample_mask,
@@ -181,12 +189,14 @@ def make_eval_step(model, cfg: ExperimentConfig,
           if class_weights is not None else jnp.ones((num_classes,)))
     loss_type = cfg.optim.loss_type
     dtype = jnp.dtype(cfg.model.dtype)
+    use_sensor = cfg.model.use_sensor
 
-    def step(state: TrainState, frames, targets, sample_mask):
+    def step(state: TrainState, frames, targets, sample_mask, sensor=None):
         x = eval_preprocess(frames, aug_cfg, S, dtype) if preprocess else frames
+        extra = {"sensor": sensor} if use_sensor else {}
         logits = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
-            x, train=False,
+            x, train=False, **extra,
         )
         loss, per_sample = weighted_loss(
             logits, targets, cw, sample_mask, loss_type=loss_type

@@ -256,8 +256,10 @@ class Trainer:
             if max_batches is not None and i >= max_batches:
                 break
             mask = jnp.asarray(~(batch["error"] | batch["pad"]), jnp.float32)
+            step_kw = ({"sensor": batch["sensor"]}
+                       if self.cfg.model.use_sensor else {})
             out = self.eval_step(
-                self.state, batch["frames"], batch["target"], mask
+                self.state, batch["frames"], batch["target"], mask, **step_kw
             )
             probs.append(self.strategy.to_host(out["probs"]).astype(np.float32))
             preds.append(self.strategy.to_host(out["preds"]))
@@ -354,8 +356,11 @@ class Trainer:
                 )
                 mask = jnp.asarray(~(batch["error"] | batch["pad"]),
                                    jnp.float32)
+                step_kw = ({"sensor": batch["sensor"]}
+                           if self.cfg.model.use_sensor else {})
                 self.state, m = self.train_step(
-                    self.state, batch["frames"], batch["target"], mask, key
+                    self.state, batch["frames"], batch["target"], mask, key,
+                    **step_kw,
                 )
                 run_loss += float(m["loss"])
                 run_acc += float(m["accuracy"])
