@@ -19,7 +19,7 @@ from __future__ import annotations
 import ctypes
 import dataclasses
 import threading
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 
