@@ -79,6 +79,19 @@ def test_predict_handles_bad_file(trained_run, tmp_path):
     assert res[0]["success"] and not res[1]["success"]
 
 
+def test_evaluate_against_ground_truth(trained_run, tmp_path):
+    """Notebook-parity eval (inference.ipynb cells 14-17)."""
+    run_dir, df = trained_run
+    pred = CollisionPredictor.from_checkpoint(run_dir)
+    cm_path = str(tmp_path / "cm.png")
+    metrics = pred.evaluate(df, confusion_matrix_path=cm_path)
+    assert 0.0 <= metrics["accuracy"] <= 1.0
+    assert metrics["num_samples"] == len(df)
+    assert metrics["num_failed"] == 0
+    assert "auc" in metrics and "f1_collision" in metrics
+    assert os.path.exists(cm_path)
+
+
 def test_sliding_window(trained_run):
     run_dir, df = trained_run
     pred = CollisionPredictor.from_checkpoint(run_dir)

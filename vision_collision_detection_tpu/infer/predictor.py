@@ -207,6 +207,57 @@ class CollisionPredictor:
         return results
 
     # ------------------------------------------------------------------
+    def evaluate(
+        self,
+        metadata_df,
+        *,
+        video_path_column: str = "video_path",
+        label_column: str = "video_type",
+        sample_strategy: str = "center",
+        batch_size: int = 8,
+        confusion_matrix_path: str = "",
+    ) -> dict:
+        """Predict a labeled set and score it — the notebook's
+        eval-vs-ground-truth cells (inference.ipynb cells 14-17): accuracy,
+        per-class P/R/F1, weighted OvR AUC, confusion matrix (optionally
+        rendered to PNG)."""
+        import numpy as np
+
+        from vision_collision_detection_tpu.metrics import (
+            classification_metrics,
+        )
+
+        name_to_idx = {n: i for i, n in enumerate(self.class_names)}
+        paths = metadata_df[video_path_column].tolist()
+        labels = [
+            name_to_idx[l] if not isinstance(l, (int,)) else int(l)
+            for l in metadata_df[label_column]
+        ]
+        results = self.predict(paths, sample_strategy=sample_strategy,
+                               batch_size=batch_size)
+        ok = [i for i, r in enumerate(results) if r.get("success")]
+        y_true = np.asarray([labels[i] for i in ok])
+        y_pred = np.asarray([results[i]["predicted_label"] for i in ok])
+        probs = np.asarray([
+            [results[i]["probabilities"][n] for n in self.class_names]
+            for i in ok
+        ])
+        metrics = classification_metrics(
+            y_true, y_pred, probs, len(self.class_names), self.class_names
+        )
+        metrics["num_failed"] = len(results) - len(ok)
+        if confusion_matrix_path:
+            from vision_collision_detection_tpu.obs.plots import (
+                plot_confusion_matrix,
+            )
+
+            plot_confusion_matrix(
+                metrics["confusion_matrix"], self.class_names,
+                confusion_matrix_path,
+            )
+        return metrics
+
+    # ------------------------------------------------------------------
     def predict_sliding(
         self,
         video_path: str,
