@@ -107,17 +107,20 @@ class DataParallelStrategy:
             local = jnp.sum(per * w) / jnp.maximum(denom, 1e-8)
             return local, per
 
-        def train_step_shard(state, frames, targets, mask, key):
+        use_sensor = cfg.model.use_sensor
+
+        def train_step_shard(state, frames, targets, mask, key, sensor=None):
             shard_id = jax.lax.axis_index(DATA_AXIS)
             key = jax.random.fold_in(key, shard_id)
             k_pre, k_drop = jax.random.split(key)
             x = train_preprocess(k_pre, frames, aug_cfg, S, dtype)
+            extra = {"sensor": sensor} if use_sensor else {}
 
             def loss_fn(params):
                 out, mutated = model.apply(
                     {"params": params, "batch_stats": state.batch_stats},
                     x, train=True, rngs={"dropout": k_drop},
-                    mutable=["batch_stats"],
+                    mutable=["batch_stats"], **extra,
                 )
                 local_loss, _ = _global_weighted_loss(out, targets, mask)
                 return local_loss, (out, mutated.get("batch_stats",
@@ -144,11 +147,12 @@ class DataParallelStrategy:
                            for g in jax.tree_util.tree_leaves(grads)))}
             return state, metrics
 
-        def eval_step_shard(state, frames, targets, mask):
+        def eval_step_shard(state, frames, targets, mask, sensor=None):
             x = eval_preprocess(frames, aug_cfg, S, dtype)
+            extra = {"sensor": sensor} if use_sensor else {}
             logits = model.apply(
                 {"params": state.params, "batch_stats": state.batch_stats},
-                x, train=False,
+                x, train=False, **extra,
             )
             local_loss, per = _global_weighted_loss(logits, targets, mask)
             return {
@@ -160,11 +164,16 @@ class DataParallelStrategy:
 
         state_spec = P()  # fully replicated
         batch_spec = P(DATA_AXIS)
+        train_in = [state_spec, batch_spec, batch_spec, batch_spec, P()]
+        eval_in = [state_spec, batch_spec, batch_spec, batch_spec]
+        if use_sensor:
+            train_in.append(batch_spec)
+            eval_in.append(batch_spec)
 
         train_step = jax.jit(
             shard_map(
                 train_step_shard, mesh=mesh,
-                in_specs=(state_spec, batch_spec, batch_spec, batch_spec, P()),
+                in_specs=tuple(train_in),
                 out_specs=(state_spec, P()),
                 check_vma=False,
             ),
@@ -173,7 +182,7 @@ class DataParallelStrategy:
         eval_step = jax.jit(
             shard_map(
                 eval_step_shard, mesh=mesh,
-                in_specs=(state_spec, batch_spec, batch_spec, batch_spec),
+                in_specs=tuple(eval_in),
                 out_specs={
                     "loss": P(), "per_sample_loss": batch_spec,
                     "probs": batch_spec, "preds": batch_spec,
@@ -181,6 +190,16 @@ class DataParallelStrategy:
                 check_vma=False,
             )
         )
+        if use_sensor:
+            # trainer passes sensor by keyword; shard_map wants positional
+            _ts, _es = train_step, eval_step
+
+            def train_step(state, frames, targets, mask, key, sensor):  # noqa: F811
+                return _ts(state, frames, targets, mask, key, sensor)
+
+            def eval_step(state, frames, targets, mask, sensor):  # noqa: F811
+                return _es(state, frames, targets, mask, sensor)
+
         return train_step, eval_step
 
     # ------------------------------------------------------------------
