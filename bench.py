@@ -132,10 +132,12 @@ def bench_tpu_pipeline(paths, cfg, forward) -> float:
     loader = ClipLoader(ds, BATCH, num_workers=min(16, os.cpu_count() or 8),
                         prefetch_batches=3)
 
-    # warmup: compile + decoder caches
+    # warmup: compile + decoder caches; consume the WHOLE pass so no
+    # abandoned producer threads keep decoding into the timed trials
+    out = None
     for batch in device_prefetch(iter(loader), keys=("frames",)):
-        forward(batch["frames"]).block_until_ready()
-        break
+        out = forward(batch["frames"])
+    out.block_until_ready()
 
     # best-of-2: the TPU tunnel's throughput fluctuates run to run; the max
     # isolates pipeline capability from transient tunnel state

@@ -248,6 +248,7 @@ class Trainer:
                  epoch: int = 0) -> Dict:
         """Sharded evaluation + gather (gen-3b semantics)."""
         loader.set_epoch(epoch)
+        t_eval = time.time()
         probs, preds, targets, masks, pads, ids, losses, counts = (
             [], [], [], [], [], [], [], []
         )
@@ -297,6 +298,7 @@ class Trainer:
         )
         total = max(float(arrays["count"].sum()), 1.0)
         metrics["loss"] = float(arrays["loss_sum"].sum() / total)
+        metrics["eval_time_sec"] = time.time() - t_eval
         metrics["ids"] = ids
         metrics["_probs"] = arrays["probs"]
         metrics["_preds"] = arrays["preds"]
