@@ -107,6 +107,34 @@ def plot_grid_search(results_df: pd.DataFrame, out_path: str,
     return out_path
 
 
+def plot_acceleration(sensor_df, out_path: str,
+                      event_time_sec: Optional[float] = None,
+                      time_column: str = "time_sec") -> str:
+    """Accelerometer trace with total-G and optional event marker
+    (reference plot_acceleration, /root/reference/nexar_videos.py:1822)."""
+    t = sensor_df[time_column] - sensor_df[time_column].iloc[0]
+    fig, ax = plt.subplots(figsize=(9, 4))
+    for col, color in (("accel_x_G", "#c44"), ("accel_y_G", "#4a4"),
+                       ("accel_z_G", "#47c")):
+        if col in sensor_df:
+            ax.plot(t, sensor_df[col], label=col, alpha=0.7, color=color)
+    if "accel_total_G" in sensor_df:
+        ax.plot(t, sensor_df["accel_total_G"], label="accel_total_G",
+                color="black", linewidth=1.6)
+    if event_time_sec is not None:
+        ax.axvline(event_time_sec, color="#d60", linestyle="--",
+                   label=f"event @ {event_time_sec:.2f}s")
+    ax.set_xlabel("time (s)")
+    ax.set_ylabel("acceleration (G)")
+    ax.legend(fontsize=8)
+    ax.grid(alpha=0.3)
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return out_path
+
+
 def plot_prediction_grid(frames_batch: np.ndarray, results: List[Dict],
                          out_path: str, max_clips: int = 8,
                          frame_index: Optional[int] = None) -> str:
