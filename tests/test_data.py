@@ -151,6 +151,26 @@ class TestLoader:
         assert batch["frames"].sum() == 0
         assert batch["frames"].shape == (1, 5, 16, 16, 3)
 
+    def test_device_prefetch_abandonment_stops_producer(self, fixture):
+        """Breaking out of device_prefetch (mini-validation pattern) must
+        release the producer thread instead of leaking it."""
+        import gc
+        import threading
+        import time
+
+        ds = self._dataset(fixture)
+        loader = ClipLoader(ds, batch_size=2, num_workers=1)
+        before = threading.active_count()
+        it = device_prefetch(iter(loader))
+        next(it)
+        it.close()  # GeneratorExit → finally → stop event
+        del it
+        gc.collect()
+        deadline = time.time() + 5
+        while threading.active_count() > before and time.time() < deadline:
+            time.sleep(0.05)
+        assert threading.active_count() <= before + 1
+
     def test_device_prefetch(self, fixture):
         import jax
 

@@ -214,6 +214,7 @@ def device_prefetch(
     import threading
 
     q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+    stop = threading.Event()
     _DONE = object()
 
     def put(batch):
@@ -222,20 +223,42 @@ def device_prefetch(
             out[k] = jax.device_put(batch[k], sharding)
         return out
 
+    def _offer(item) -> bool:
+        """Blocking put that aborts when the consumer went away."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def producer():
         try:
             for batch in iterator:
-                q.put(put(batch))
-            q.put(_DONE)
+                if stop.is_set() or not _offer(put(batch)):
+                    return
+            _offer(_DONE)
         except BaseException as e:  # surface errors in the consumer
-            q.put(e)
+            _offer(e)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _DONE:
-            break
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _DONE:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        # Consumer done or abandoned (e.g. mini-validation's max_batches
+        # break): release the producer so threads and device buffers don't
+        # leak across the many evaluate() calls of a long run.
+        stop.set()
+        while True:
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
