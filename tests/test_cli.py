@@ -50,6 +50,33 @@ def test_infer_cli(run_dir, capsys, tmp_path):
     assert "prob_collision" in df.columns
 
 
+def test_grid_search_cli(tmp_path, capsys):
+    from vision_collision_detection_tpu.cli.grid_search import (
+        main as grid_main,
+    )
+
+    save = str(tmp_path / "grid_runs")
+    rc = grid_main([
+        "--synthetic", "2", "--save-dir", save,
+        "--backbones", "resnet18",
+        "--temporal-modes", "pooling",
+        "--learning-rates", "1e-3", "3e-4",
+        "--fps", "5", "--duration", "1", "--frame-size", "32",
+        "--batch-size", "3", "--epochs", "1", "--validation-freq", "0",
+        "--no-augment", "--single-device",
+    ])
+    assert rc == 0
+    last_json_line = [
+        l for l in capsys.readouterr().out.strip().splitlines()
+        if l.startswith("{")
+    ][-1]
+    out = json.loads(last_json_line)
+    assert "best" in out
+    df = pd.read_csv(os.path.join(save, "grid_search_results.csv"))
+    assert len(df) == 2
+    assert os.path.exists(os.path.join(save, "grid_search.png"))
+
+
 def test_infer_cli_sliding(run_dir, capsys):
     videos_dir = os.path.join(run_dir, "_synthetic_data", "videos")
     first = os.path.join(videos_dir, sorted(os.listdir(videos_dir))[0])

@@ -91,8 +91,8 @@ def main(argv=None) -> int:
     except Exception as e:
         print(f"grid plot failed: {e}", file=sys.stderr)
     best = df.iloc[0].to_dict()
-    print(json.dumps({"best": best, "summary_csv": out}, indent=2,
-                     default=str))
+    # single line so scripts (and tests) can parse the last stdout line
+    print(json.dumps({"best": best, "summary_csv": out}, default=str))
     return 0
 
 
