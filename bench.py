@@ -28,12 +28,12 @@ import time
 import numpy as np
 
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
-NUM_CLIPS = 24
+NUM_CLIPS = 32
 CLIP_FRAMES = 50
 CLIP_FPS = 10
 SRC_H, SRC_W = 720, 1280  # dashcam-typical 720p
 FRAME_SIZE = 224
-BATCH = 8
+BATCH = 16
 PASSES = 4
 BASELINE_CLIPS = 6
 
