@@ -167,6 +167,17 @@ def pick_strategy(args):
     if args.single_device:
         return SingleDeviceStrategy()
     if args.data_parallel or jax.device_count() > 1:
+        # VCD_NUM_DATA (set by scripts/run_training.sh distributed [N])
+        # clamps the data-parallel width to the first N devices.
+        n = int(os.environ.get("VCD_NUM_DATA", "0") or 0)
+        if 0 < n < jax.device_count():
+            from vision_collision_detection_tpu.config import MeshConfig
+            from vision_collision_detection_tpu.parallel import create_mesh
+
+            mesh = create_mesh(
+                MeshConfig(num_data=n, num_model=1), jax.devices()[:n]
+            )
+            return DataParallelStrategy(mesh)
         return DataParallelStrategy()
     return SingleDeviceStrategy()
 

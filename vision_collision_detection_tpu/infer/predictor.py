@@ -178,13 +178,14 @@ class CollisionPredictor:
         )
         loader = ClipLoader(ds, batch_size, num_workers=num_workers)
         forward = self._make_forward(stride > 1)
+        path_by_id = {r.video_id: r.video_path for r in records}
         results: List[Dict] = []
         for batch in device_prefetch(iter(loader), keys=("frames",)):
             probs = np.asarray(forward(batch["frames"]))
             for i in range(len(batch["id"])):
                 if batch["error"][i]:
                     results.append({
-                        "video_path": records[len(results)].video_path,
+                        "video_path": path_by_id.get(batch["id"][i]),
                         "id": batch["id"][i],
                         "success": False,
                         "error": "decode failed",
@@ -193,7 +194,7 @@ class CollisionPredictor:
                 p = probs[i]
                 k = int(p.argmax())
                 results.append({
-                    "video_path": records[len(results)].video_path,
+                    "video_path": path_by_id.get(batch["id"][i]),
                     "id": batch["id"][i],
                     "success": True,
                     "predicted_class": self.class_names[k],
