@@ -14,14 +14,23 @@ forwards — i.e., the reference's pipeline shape with only the math library
 swapped. The ratio isolates the TPU-first design wins: fused batched
 preprocessing, uint8 host→device transfer, and batched MXU inference.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Diagnostics go to stderr.
+Methodology (hardened per round-1 review):
+- every leg reports the MEDIAN of ≥3 trials (stderr shows each trial);
+- stage breakdown in diagnostics: decode-only clips/s (host ceiling),
+  device-only clips/s (chip capability), e2e clips/s (the metric);
+- the reference-style leg runs ≥16 clips per trial;
+- a train-step leg reports train clips/s, step-time ms, and an MFU estimate
+  from XLA's cost analysis.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
+"diagnostics"}. Everything else goes to stderr.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -35,11 +44,31 @@ SRC_H, SRC_W = 720, 1280  # dashcam-typical 720p
 FRAME_SIZE = 224
 BATCH = 16
 PASSES = 4
-BASELINE_CLIPS = 6
+BASELINE_CLIPS = 16
+TRIALS = 3
+
+# bf16 peak FLOP/s per chip for MFU estimates (public TPU specs)
+_PEAK_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5e": 197e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5p": 459e12,
+    "TPU v6e": 918e12,
+}
 
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
+
+
+def _median_trials(fn, trials: int = TRIALS, label: str = "") -> tuple:
+    """Run fn() `trials` times; fn returns clips/s. → (median, [trials])."""
+    rates = []
+    for t in range(trials):
+        r = fn()
+        rates.append(r)
+        log(f"{label} trial {t}: {r:.2f} clips/s")
+    return statistics.median(rates), rates
 
 
 def ensure_fixtures() -> list:
@@ -72,6 +101,20 @@ def ensure_fixtures() -> list:
         encode_video(p, frames, fps=CLIP_FPS)
         log(f"encoded fixture {i + 1}/{NUM_CLIPS}")
     return paths
+
+
+def make_dataset(paths):
+    from vision_collision_detection_tpu.data.datasets import ClipDataset, ClipRecord
+    from vision_collision_detection_tpu.ops.letterbox import letterbox_geometry
+
+    records = [ClipRecord(os.path.basename(p), p, 0) for p in paths]
+    # ship letterbox CONTENT rows only (the black bars are ~44% of the bytes
+    # for 16:9 → square); the device pads them back inside the fused program
+    nh, nw, _, _ = letterbox_geometry(SRC_H, SRC_W, FRAME_SIZE)
+    content = (nh + nh % 2, nw + nw % 2)
+    return ClipDataset(records, fps=CLIP_FPS, duration=CLIP_FRAMES // CLIP_FPS,
+                       frame_size=FRAME_SIZE, sample_strategy="center",
+                       frame_stride=2, content_box=content)
 
 
 def build_forward():
@@ -112,23 +155,53 @@ def build_forward():
     return cfg, forward
 
 
-def bench_tpu_pipeline(paths, cfg, forward) -> float:
-    """Our pipeline: threaded C++ decode → device batches → fused program."""
+def bench_decode_only(ds) -> tuple:
+    """Host decode ceiling: loader without any device work."""
+    from vision_collision_detection_tpu.data.loader import ClipLoader
+
+    loader = ClipLoader(ds, BATCH, num_workers=min(16, os.cpu_count() or 8),
+                        prefetch_batches=3)
+    for batch in loader:  # warm decoder caches
+        pass
+
+    def one():
+        n = 0
+        t0 = time.perf_counter()
+        for _ in range(PASSES):
+            for batch in loader:
+                n += batch["frames"].shape[0]
+        return n / (time.perf_counter() - t0)
+
+    return _median_trials(one, label="decode-only")
+
+
+def bench_device_only(forward, ds) -> tuple:
+    """Chip capability: forward over resident device batches (no host feed)."""
     import jax
 
-    from vision_collision_detection_tpu.data.datasets import ClipDataset, ClipRecord
+    from vision_collision_detection_tpu.data.loader import ClipLoader
+
+    loader = ClipLoader(ds, BATCH, num_workers=4, prefetch_batches=1)
+    batch = next(iter(loader))
+    dev = jax.device_put(batch["frames"])
+    forward(dev).block_until_ready()  # compile
+
+    def one():
+        reps = 8
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(reps):
+            out = forward(dev)
+        out.block_until_ready()
+        return reps * dev.shape[0] / (time.perf_counter() - t0)
+
+    return _median_trials(one, label="device-only")
+
+
+def bench_tpu_pipeline(ds, forward) -> tuple:
+    """Our e2e pipeline: threaded C++ decode → device batches → fused program."""
     from vision_collision_detection_tpu.data.loader import ClipLoader, device_prefetch
 
-    from vision_collision_detection_tpu.ops.letterbox import letterbox_geometry
-
-    records = [ClipRecord(os.path.basename(p), p, 0) for p in paths]
-    # ship letterbox CONTENT rows only (the black bars are ~44% of the bytes
-    # for 16:9 → square); the device pads them back inside the fused program
-    nh, nw, _, _ = letterbox_geometry(SRC_H, SRC_W, FRAME_SIZE)
-    content = (nh + nh % 2, nw + nw % 2)
-    ds = ClipDataset(records, fps=CLIP_FPS, duration=CLIP_FRAMES // CLIP_FPS,
-                     frame_size=FRAME_SIZE, sample_strategy="center",
-                     frame_stride=2, content_box=content)
     loader = ClipLoader(ds, BATCH, num_workers=min(16, os.cpu_count() or 8),
                         prefetch_batches=3)
 
@@ -139,10 +212,7 @@ def bench_tpu_pipeline(paths, cfg, forward) -> float:
         out = forward(batch["frames"])
     out.block_until_ready()
 
-    # best-of-2: the TPU tunnel's throughput fluctuates run to run; the max
-    # isolates pipeline capability from transient tunnel state
-    best = 0.0
-    for trial in range(2):
+    def one():
         n = 0
         t0 = time.perf_counter()
         out = None
@@ -151,20 +221,20 @@ def bench_tpu_pipeline(paths, cfg, forward) -> float:
                 out = forward(batch["frames"])  # async dispatch
                 n += batch["frames"].shape[0]
         out.block_until_ready()
-        dt = time.perf_counter() - t0
-        log(f"tpu pipeline trial {trial}: {n} clips in {dt:.2f}s "
-            f"→ {n / dt:.2f} clips/s")
-        best = max(best, n / dt)
-    return best
+        return n / (time.perf_counter() - t0)
+
+    return _median_trials(one, label="e2e tpu pipeline")
 
 
-def bench_reference_style(paths, cfg, forward) -> float:
+def bench_reference_style(paths, cfg) -> tuple:
     """Reference-shaped pipeline: sequential decode, per-frame Python
-    transform loop, unbatched forwards."""
+    transform loop, unbatched fp32 forwards."""
+    import jax
     import jax.numpy as jnp
     from PIL import Image
 
     from vision_collision_detection_tpu.media.decoder import decode_frames
+    from vision_collision_detection_tpu.models import build_model
     from vision_collision_detection_tpu.ops.letterbox import letterbox_geometry
 
     mean = np.array(cfg.augment.normalize_mean, np.float32)
@@ -188,10 +258,6 @@ def bench_reference_style(paths, cfg, forward) -> float:
     # The reference normalizes on the CPU and ships fp32 to the device (4×
     # the transfer bytes of our uint8 path); emulate with a B=1 forward that
     # takes pre-normalized floats.
-    import jax
-
-    from vision_collision_detection_tpu.models import build_model
-
     clip = one_clip(paths[0])
     model = build_model(cfg.model)
     variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
@@ -205,33 +271,137 @@ def bench_reference_style(paths, cfg, forward) -> float:
 
     fwd1(jnp.asarray(clip[None])).block_until_ready()
 
-    rate = 0.0
-    for trial in range(2):
+    def one():
         t0 = time.perf_counter()
         out = None
         for p in paths[:BASELINE_CLIPS]:
-            clip = one_clip(p)
-            out = fwd1(jnp.asarray(clip[None]))
+            c = one_clip(p)
+            out = fwd1(jnp.asarray(c[None]))
         out.block_until_ready()
-        dt = time.perf_counter() - t0
-        log(f"reference-style pipeline trial {trial}: {BASELINE_CLIPS} clips "
-            f"in {dt:.2f}s → {BASELINE_CLIPS / dt:.2f} clips/s")
-        rate = max(rate, BASELINE_CLIPS / dt)
-    return rate
+        return BASELINE_CLIPS / (time.perf_counter() - t0)
+
+    return _median_trials(one, label="reference-style pipeline")
+
+
+def bench_train_step(cfg) -> dict:
+    """Device-side training throughput on the flagship config: train clips/s,
+    step time, and an MFU estimate (the hot loop the reference times at
+    /root/reference/nexar_train.py:1114-1200)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from vision_collision_detection_tpu.ops.letterbox import letterbox_geometry
+    from vision_collision_detection_tpu.train.steps import (
+        create_train_state,
+        make_train_step,
+    )
+
+    cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+        cfg.model, frame_subsample=1))
+    T = cfg.data.num_frames // 2
+    nh, nw, _, _ = letterbox_geometry(SRC_H, SRC_W, FRAME_SIZE)
+    content = (nh + nh % 2, nw + nw % 2)
+
+    model, state = create_train_state(
+        cfg, jax.random.PRNGKey(0), steps_per_epoch=100,
+        sample_frames_shape=(1, T, content[0], content[1], 3),
+    )
+    train_step = make_train_step(model, cfg, None)
+
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (BATCH, T, content[0], content[1], 3),
+                          dtype=np.uint8)
+    targets = rng.integers(0, cfg.model.num_classes, (BATCH,)).astype(np.int64)
+    mask = np.ones((BATCH,), np.float32)
+    key = jax.random.PRNGKey(1)
+
+    dev_frames = jax.device_put(frames)
+    t0 = time.perf_counter()
+    state, m = train_step(state, dev_frames, targets, mask, key)
+    jax.block_until_ready(m)
+    log(f"train step compile+first {time.perf_counter() - t0:.1f}s")
+
+    # FLOP estimate from XLA's cost analysis (forward+backward+update)
+    flops = None
+    try:
+        lowered = jax.jit(
+            lambda s, f, t_, mk, k: make_train_step(model, cfg, None,
+                                                    donate=False)(s, f, t_, mk, k)
+        ).lower(state, dev_frames, targets, mask, key)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0)) or None
+    except Exception as e:
+        log(f"cost analysis unavailable: {e}")
+
+    def one():
+        nonlocal state
+        reps = 5
+        t0 = time.perf_counter()
+        m_last = None
+        for _ in range(reps):
+            state, m_last = train_step(state, dev_frames, targets, mask, key)
+        jax.block_until_ready(m_last)
+        return reps * BATCH / (time.perf_counter() - t0)
+
+    rate, rates = _median_trials(one, label="train-step")
+    step_ms = BATCH / rate * 1000.0
+    mfu = None
+    kind = jax.devices()[0].device_kind
+    peak = next((v for k, v in _PEAK_FLOPS.items()
+                 if k.lower() in kind.lower()), None)
+    if flops and peak:
+        mfu = (flops / (step_ms / 1000.0)) / peak
+    return {
+        "train_clips_per_s": round(rate, 3),
+        "train_trials": [round(r, 3) for r in rates],
+        "train_step_ms": round(step_ms, 2),
+        "train_step_flops": flops,
+        "device_kind": kind,
+        "mfu": round(mfu, 4) if mfu is not None else None,
+    }
 
 
 def main() -> None:
     t_start = time.time()
+    train_diag = {}
+    run_train = "--no-train" not in sys.argv
     paths = ensure_fixtures()
     cfg, forward = build_forward()
-    ours = bench_tpu_pipeline(paths, cfg, forward)
-    baseline = bench_reference_style(paths, cfg, forward)
+    ds = make_dataset(paths)
+
+    decode_med, decode_trials = bench_decode_only(ds)
+    device_med, device_trials = bench_device_only(forward, ds)
+    e2e_med, e2e_trials = bench_tpu_pipeline(ds, forward)
+    base_med, base_trials = bench_reference_style(paths, cfg)
+    if run_train:
+        train_diag = bench_train_step(cfg)
+
+    bottleneck = "host_decode" if decode_med < device_med else "device"
+    log(f"stage split: decode-only {decode_med:.2f} | device-only "
+        f"{device_med:.2f} | e2e {e2e_med:.2f} clips/s → bottleneck: "
+        f"{bottleneck}")
     log(f"total bench time {time.time() - t_start:.1f}s")
     print(json.dumps({
         "metric": "clips_per_sec_per_chip_e2e_decode_to_infer",
-        "value": round(ours, 3),
+        "value": round(e2e_med, 3),
         "unit": "clips/s",
-        "vs_baseline": round(ours / baseline, 3) if baseline > 0 else None,
+        "vs_baseline": round(e2e_med / base_med, 3) if base_med > 0 else None,
+        "diagnostics": {
+            "decode_only_clips_per_s": round(decode_med, 3),
+            "decode_trials": [round(r, 3) for r in decode_trials],
+            "device_only_clips_per_s": round(device_med, 3),
+            "device_trials": [round(r, 3) for r in device_trials],
+            "e2e_trials": [round(r, 3) for r in e2e_trials],
+            "baseline_clips_per_s": round(base_med, 3),
+            "baseline_trials": [round(r, 3) for r in base_trials],
+            "baseline_clips": BASELINE_CLIPS,
+            "bottleneck": bottleneck,
+            **train_diag,
+        },
     }))
 
 

@@ -16,7 +16,10 @@ from vision_collision_detection_tpu.ops import (
 )
 from vision_collision_detection_tpu.ops import color as C
 from vision_collision_detection_tpu.ops.affine import affine_warp_clip
-from vision_collision_detection_tpu.ops.augment import gaussian_blur_clip
+from vision_collision_detection_tpu.ops.augment import (
+    gaussian_blur_clip,
+    sample_clip_params,
+)
 
 
 class TestLetterbox:
@@ -200,3 +203,32 @@ class TestPreprocess:
         x = jnp.full((1, 1, 2, 2, 3), 0.45)
         out = normalize_video(x, (0.45,) * 3, (0.225,) * 3)
         np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+
+
+class TestAugmentRNGIndependence:
+    def test_gate_draws_decorrelate_at_equal_probs(self):
+        """Every sampled decision gets its own key (reference samples each
+        parameter independently, /root/reference/nexar_video_aug.py:97-182):
+        with all gate probs at 0.5, no two gates may be (anti)correlated."""
+        import itertools
+
+        cfg = AugmentConfig(
+            grayscale_prob=0.5, cutout_prob=0.5, color_inversion_prob=0.5,
+            solarization_prob=0.5, posterization_prob=0.5,
+        )
+        n = 512
+        keys = jax.random.split(jax.random.PRNGKey(123), n)
+        params = jax.vmap(lambda k: sample_clip_params(k, cfg, 32, 32))(keys)
+        gates = {
+            name: np.asarray(params[name], dtype=np.int32)
+            for name in ("grayscale", "cutout", "invert", "solarize",
+                         "posterize")
+        }
+        for a, b in itertools.combinations(gates, 2):
+            agree = float(np.mean(gates[a] == gates[b]))
+            assert 0.35 < agree < 0.65, f"{a} vs {b} agree at {agree:.2f}"
+        # count/bits draws must not be slaved to their gates either
+        count = np.asarray(params["cutout_count"])
+        assert len(np.unique(count[gates["cutout"] == 0])) > 1
+        bits = np.asarray(params["posterize_bits"])
+        assert len(np.unique(bits[gates["posterize"] == 0])) > 1

@@ -122,3 +122,41 @@ def test_tp_train_step_runs_and_matches_single_device(mesh):
     probs = strategy.to_host(out["probs"])
     assert probs.shape == (8, 3)
     np.testing.assert_allclose(probs.sum(1), 1.0, atol=1e-5)
+
+
+def test_opt_state_moments_get_param_shardings(mesh):
+    """Adam moments must mirror the param shardings even inside a CHAINED
+    optimizer (round-1 review: top-level namedtuple scan missed injected
+    transforms like clip_by_global_norm)."""
+    cfg = tp_config()
+    model = tiny_vivit()
+    strategy = ModelParallelStrategy(mesh)
+
+    variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, 2, 32, 32, 3), jnp.float32),
+    )
+    tx = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(1e-3, weight_decay=1e-4),
+    )
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}), tx=tx,
+    )
+    sharded = strategy.shard_state(state)
+
+    adam = next(
+        s for chain in sharded.opt_state
+        for s in (chain if isinstance(chain, tuple) else (chain,))
+        if isinstance(s, optax.ScaleByAdamState)
+    )
+    q_spec = adam.mu["spatial_0"]["attn"]["query"]["kernel"].sharding.spec
+    assert q_spec == P(None, "model", None)
+    nu_spec = adam.nu["spatial_0"]["mlp_fc1"]["kernel"].sharding.spec
+    assert nu_spec == P(None, "model")
+    # scalar count stays replicated
+    assert adam.count.sharding.is_fully_replicated
+    # norm/bias params replicated in the moments too
+    b_spec = adam.mu["spatial_0"]["norm1"]["scale"].sharding.spec
+    assert b_spec == P()

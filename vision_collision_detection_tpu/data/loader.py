@@ -217,10 +217,25 @@ def device_prefetch(
     stop = threading.Event()
     _DONE = object()
 
+    multihost = (
+        sharding is not None
+        and not getattr(sharding, "is_fully_addressable", True)
+    )
+
     def put(batch):
         out = dict(batch)
         for k in keys:
-            out[k] = jax.device_put(batch[k], sharding)
+            if multihost:
+                # Each host holds a DISTINCT loader shard: assemble the
+                # global array from per-process local data. A plain
+                # device_put onto a non-fully-addressable sharding would
+                # treat the local batch as the (identical) global array and
+                # misinterpret per-host shards (jax 0.9 semantics).
+                out[k] = jax.make_array_from_process_local_data(
+                    sharding, np.asarray(batch[k])
+                )
+            else:
+                out[k] = jax.device_put(batch[k], sharding)
         return out
 
     def _offer(item) -> bool:

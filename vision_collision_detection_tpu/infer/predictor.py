@@ -36,10 +36,15 @@ VIDEO_EXTENSIONS = (".mp4", ".mov", ".MP4", ".MOV")
 
 
 class CollisionPredictor:
-    def __init__(self, cfg: ExperimentConfig, params, batch_stats=None):
+    def __init__(self, cfg: ExperimentConfig, params, batch_stats=None,
+                 model_override=None):
+        """model_override: a ready flax module to use instead of
+        build_model(cfg.model) — set by from_torch_checkpoint for imported
+        reference architectures (models.reference_model)."""
         cfg.validate()
         self.cfg = cfg
-        self.model = build_model(cfg.model)
+        self._model_override = model_override
+        self.model = model_override or build_model(cfg.model)
         self.params = params
         self.batch_stats = batch_stats or {}
         self.class_names = tuple(cfg.data.class_names)
@@ -54,12 +59,17 @@ class CollisionPredictor:
         key = bool(folded_stride)
         if key in self._forward_cache:
             return self._forward_cache[key]
-        mcfg = self.cfg.model
-        if folded_stride:
-            import dataclasses
+        import dataclasses
 
-            mcfg = dataclasses.replace(mcfg, frame_subsample=1)
-        model = build_model(mcfg)
+        mcfg = self.cfg.model
+        if self._model_override is not None:
+            model = self._model_override
+            if folded_stride:  # flax modules are dataclasses
+                model = dataclasses.replace(model, frame_subsample=1)
+        else:
+            if folded_stride:
+                mcfg = dataclasses.replace(mcfg, frame_subsample=1)
+            model = build_model(mcfg)
         aug = self.cfg.augment
         S = self.cfg.data.frame_size
         dtype = jnp.dtype(mcfg.dtype)
@@ -114,6 +124,71 @@ class CollisionPredictor:
             raise ValueError(f"{ckpt_dir} has no hyperparams contract")
         cfg = ExperimentConfig.from_dict(meta["hyperparams"])
         return cls(cfg, arrays["params"], arrays.get("batch_stats") or {})
+
+    @classmethod
+    def from_torch_checkpoint(cls, path: str, dtype: str = "float32",
+                              class_names=None) -> "CollisionPredictor":
+        """Load a REFERENCE training checkpoint the way the reference's own
+        inference does (/root/reference/nexar_inference.py:33-101): rebuild
+        the architecture from the ``hyperparams`` contract and consume
+        ``model_state_dict``. Accepts a torch ``.pth`` file (converted
+        in-process; torch required) or the offline-converted ``.npz`` +
+        ``.npz.hyperparams.json`` pair written by
+        ``cli.convert_weights --full`` (torch-free)."""
+        import json as _json
+
+        import flax
+
+        from vision_collision_detection_tpu.models.convert import load_npz
+        from vision_collision_detection_tpu.models.reference_model import (
+            build_reference_model,
+        )
+
+        if path.endswith(".npz"):
+            variables = load_npz(path)
+            with open(path + ".hyperparams.json") as f:
+                hp = _json.load(f)
+        else:
+            import torch
+
+            from vision_collision_detection_tpu.models.import_torch import (
+                convert_reference_checkpoint,
+            )
+
+            ckpt = torch.load(path, map_location="cpu", weights_only=False)
+            hp, variables = convert_reference_checkpoint(ckpt)
+
+        model = build_reference_model(hp, dtype=jnp.dtype(dtype))
+        overrides = {
+            "model.backbone": model.backbone,
+            "model.num_classes": model.num_classes,
+            "data.num_classes": model.num_classes,
+            "model.dtype": dtype,
+        }
+        # cfg's temporal vocabulary uses 'conv' (reference: 'convolution')
+        mode = model.temporal_mode
+        overrides["model.temporal_mode"] = "conv" if mode == "convolution" else mode
+        if class_names:
+            overrides["data.class_names"] = tuple(class_names)
+        elif model.num_classes != 3:
+            overrides["data.class_names"] = tuple(
+                f"class_{i}" for i in range(model.num_classes)
+            )
+        cfg = ExperimentConfig().override(overrides)
+
+        # Align the converted tree onto the model's init structure (dtype
+        # canonicalization + missing-leaf detection).
+        T, S = cfg.data.num_frames, cfg.data.frame_size
+        init = jax.jit(lambda k, x: model.init(k, x, train=False))(
+            {"params": jax.random.PRNGKey(0)},
+            jnp.zeros((1, T, S, S, 3), jnp.float32),
+        )
+        params = flax.serialization.from_state_dict(
+            flax.core.unfreeze(init["params"]), variables["params"])
+        batch_stats = flax.serialization.from_state_dict(
+            flax.core.unfreeze(init.get("batch_stats", {})),
+            variables.get("batch_stats") or {})
+        return cls(cfg, params, batch_stats, model_override=model)
 
     @staticmethod
     def _resolve(path: str) -> str:
@@ -231,7 +306,7 @@ class CollisionPredictor:
         name_to_idx = {n: i for i, n in enumerate(self.class_names)}
         paths = metadata_df[video_path_column].tolist()
         labels = [
-            name_to_idx[l] if not isinstance(l, (int,)) else int(l)
+            name_to_idx[l] if not isinstance(l, (int, np.integer)) else int(l)
             for l in metadata_df[label_column]
         ]
         results = self.predict(paths, sample_strategy=sample_strategy,

@@ -52,6 +52,11 @@ class ConvNeXt(nn.Module):
     depths: Sequence[int]
     dims: Sequence[int]
     drop_path_rate: float = 0.0
+    # torchvision puts the final LayerNorm inside `classifier`; the reference's
+    # EnhancedFrameCNN replaces classifier with Identity and therefore SKIPS it
+    # (/root/reference/nexar_arch.py:324-328). apply_head_norm=False reproduces
+    # that feature path for imported checkpoints.
+    apply_head_norm: bool = True
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -79,10 +84,10 @@ class ConvNeXt(nn.Module):
                 block_idx += 1
 
         x = jnp.mean(x, axis=(1, 2))  # global average pool
-        x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="head_norm")(
-            x.astype(jnp.float32)
-        )
-        return x
+        if self.apply_head_norm:
+            x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
+                             name="head_norm")(x.astype(jnp.float32))
+        return x.astype(jnp.float32)
 
 
 @BACKBONE_REGISTRY.register("convnext_tiny")

@@ -33,7 +33,11 @@ def _uniform(key, lo, hi):
 
 def sample_clip_params(key: jax.Array, cfg: AugmentConfig, h: int, w: int) -> Dict:
     """Sample one clip's augmentation params (reference :97-182)."""
-    keys = jax.random.split(key, 16)
+    # One key per sampled decision: the reference draws every parameter
+    # independently (/root/reference/nexar_video_aug.py:97-182), so no key may
+    # serve two decisions (shared keys make equal-prob gates perfectly
+    # correlated, e.g. invert⇔solarize).
+    keys = jax.random.split(key, 21)
     k_max = int(cfg.cutout_count_range[1])
 
     size_f = jax.random.uniform(
@@ -64,20 +68,20 @@ def sample_clip_params(key: jax.Array, cfg: AugmentConfig, h: int, w: int) -> Di
         "grayscale": jax.random.bernoulli(keys[12], cfg.grayscale_prob),
         "cutout": jax.random.bernoulli(keys[13], cfg.cutout_prob),
         "cutout_count": jax.random.randint(
-            keys[13], (), cfg.cutout_count_range[0], cfg.cutout_count_range[1] + 1
+            keys[16], (), cfg.cutout_count_range[0], cfg.cutout_count_range[1] + 1
         ),
         "cutout_h": cut_h,
         "cutout_w": cut_w,
         "cutout_top": jnp.floor(u_top * (max_top + 1).astype(jnp.float32)).astype(jnp.int32),
         "cutout_left": jnp.floor(u_left * (max_left + 1).astype(jnp.float32)).astype(jnp.int32),
         "invert": jax.random.bernoulli(keys[14], cfg.color_inversion_prob),
-        "solarize": jax.random.bernoulli(keys[14], cfg.solarization_prob),
-        "posterize": jax.random.bernoulli(keys[12], cfg.posterization_prob),
+        "solarize": jax.random.bernoulli(keys[17], cfg.solarization_prob),
+        "posterize": jax.random.bernoulli(keys[18], cfg.posterization_prob),
         "posterize_bits": jax.random.randint(
-            keys[11], (), cfg.posterization_bits_range[0],
+            keys[19], (), cfg.posterization_bits_range[0],
             cfg.posterization_bits_range[1] + 1,
         ),
-        "noise_key": keys[10],
+        "noise_key": keys[20],
     }
 
 

@@ -75,6 +75,21 @@ class DataParallelStrategy:
     def to_host(self, x) -> np.ndarray:
         return to_host_numpy(x)
 
+    def globalize(self, x: np.ndarray):
+        """Per-host batch shard → global device array.
+
+        Multi-host: every process holds a DISTINCT loader shard, so the
+        global array must be assembled with make_array_from_process_local_data
+        (a bare device_put onto a non-fully-addressable sharding would read
+        the local batch as the global array). Single-host: jit's implicit
+        transfer with in_specs does the right thing.
+        """
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(
+                self.data_sharding, np.asarray(x)
+            )
+        return x
+
     # ------------------------------------------------------------------
     def make_steps(self, model, cfg: ExperimentConfig, class_weights):
         aug_cfg = cfg.augment

@@ -32,17 +32,22 @@ def maybe_initialize_distributed() -> None:
     (COORDINATOR_ADDRESS / NUM_PROCESSES / PROCESS_ID) and is a no-op for
     single-process runs or when already initialized.
     """
-    if jax.process_count() > 1:
-        return  # already initialized by the runtime
     addr = os.environ.get("COORDINATOR_ADDRESS")
     nproc = os.environ.get("NUM_PROCESSES")
     pid = os.environ.get("PROCESS_ID")
-    if addr and nproc and pid:
+    if not (addr and nproc and pid):
+        return
+    # NB: must not touch jax.process_count()/jax.devices() first — that
+    # would initialize the runtime and make distributed init impossible.
+    try:
         jax.distributed.initialize(
             coordinator_address=addr,
             num_processes=int(nproc),
             process_id=int(pid),
         )
+    except RuntimeError as e:  # already initialized (idempotent no-op)
+        if "already" not in str(e).lower():
+            raise
 
 
 def create_mesh(cfg: Optional[MeshConfig] = None,

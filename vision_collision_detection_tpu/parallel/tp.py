@@ -111,37 +111,34 @@ class ModelParallelStrategy:
 
     def shard_state(self, state):
         """Place params (TP rules), opt state (mirrors params), batch_stats
-        (replicated) onto the mesh."""
+        (replicated) onto the mesh.
+
+        The optimizer state is walked GENERICALLY: any array leaf whose tree
+        path ends with a param path (optax moment trees — Adam mu/nu,
+        momentum traces — share the params' structure as a subtree, at any
+        nesting depth of chained/injected transforms) and whose shape matches
+        gets that param's sharding; every other leaf (step counts,
+        EmptyStates, schedule states) is replicated.
+        """
         p_sh = param_shardings(state.params, self.mesh)
         params = jax.device_put(state.params, p_sh)
 
-        def opt_sharding(leaf):
-            # moment tensors mirror a param's shape → reuse its sharding when
-            # the shapes line up; everything else replicated
-            return self.replicated
+        flat_p = jax.tree_util.tree_flatten_with_path(state.params)[0]
+        flat_s = jax.tree_util.tree_flatten_with_path(p_sh)[0]
+        table = {
+            tuple(str(k) for k in path): (np.shape(leaf), sharding)
+            for (path, leaf), (_, sharding) in zip(flat_p, flat_s)
+        }
 
-        opt_state = jax.tree_util.tree_map(
-            lambda leaf: jax.device_put(leaf, self.replicated),
-            state.opt_state,
-        )
-        # Re-place Adam moments with the param shardings (same tree shape).
-        try:
-            import optax
+        def place(path, leaf):
+            keys = tuple(str(k) for k in path)
+            for i in range(len(keys)):  # longest path suffix first
+                ent = table.get(keys[i:])
+                if ent is not None and ent[0] == np.shape(leaf):
+                    return jax.device_put(leaf, ent[1])
+            return jax.device_put(leaf, self.replicated)
 
-            def place_like_params(os_):
-                if isinstance(os_, optax.ScaleByAdamState):
-                    return os_._replace(
-                        mu=jax.device_put(os_.mu, p_sh),
-                        nu=jax.device_put(os_.nu, p_sh),
-                    )
-                return os_
-
-            opt_state = tuple(
-                place_like_params(o) if hasattr(o, "_fields") else o
-                for o in state.opt_state
-            )
-        except Exception:
-            pass
+        opt_state = jax.tree_util.tree_map_with_path(place, state.opt_state)
         batch_stats = jax.device_put(state.batch_stats, self.replicated)
         return state.replace(params=params, opt_state=opt_state,
                              batch_stats=batch_stats)

@@ -50,6 +50,15 @@ from vision_collision_detection_tpu.train.steps import (
 )
 
 
+# Device-side running-metric accumulation: one fused add per step instead of
+# a blocking float() host sync (the reference's loop hides this cost behind
+# CUDA streams; through a high-latency TPU tunnel a per-step sync serializes
+# dispatch and idles the chip).
+_metric_sum = jax.jit(
+    lambda acc, new: jax.tree_util.tree_map(jnp.add, acc, new)
+)
+
+
 class SingleDeviceStrategy:
     """Default strategy: one device, no collectives."""
 
@@ -70,9 +79,30 @@ class SingleDeviceStrategy:
     def to_host(x) -> np.ndarray:
         return np.asarray(x)
 
+    @staticmethod
+    def globalize(x: np.ndarray):
+        """Host batch → step input (multi-host strategies assemble a global
+        array from per-process shards; see parallel.dp)."""
+        return x
+
     @property
     def is_main(self) -> bool:
         return True
+
+
+def _ids_to_bytes(ids, width: int = 256) -> np.ndarray:
+    """Fixed-shape uint8 encoding so string ids survive process_allgather
+    alongside the prediction arrays (keeps test_predictions.csv rows aligned
+    under multi-host eval)."""
+    arr = np.zeros((len(ids), width), np.uint8)
+    for i, s in enumerate(ids):
+        b = str(s).encode("utf-8")[:width]
+        arr[i, : len(b)] = np.frombuffer(b, np.uint8)
+    return arr
+
+
+def _bytes_to_ids(arr: np.ndarray) -> list:
+    return [bytes(row[row != 0]).decode("utf-8", "replace") for row in arr]
 
 
 class Trainer:
@@ -152,23 +182,48 @@ class Trainer:
         if cfg.train.resume and self.store.exists("last"):
             self._resume()
 
-    def _enable_content_box(self, *datasets) -> None:
+    def _enable_content_box(self, *datasets, probe_limit: int = 8) -> None:
         """Ship letterbox content rows, pad on device (bit-exact; see
-        ops.letterbox + DataConfig.content_box_transfer). Uses the first
-        train video's aspect; skipped when probing fails or content is
-        already square."""
+        ops.letterbox + DataConfig.content_box_transfer).
+
+        Guarded against mixed-aspect data: a sample of videos from EVERY
+        dataset is probed and the box is applied only when all aspects agree
+        — otherwise a clip with a different aspect would be double-letterboxed
+        into geometry that is not bit-identical to the square decode path
+        (the exact-letterbox arithmetic AUC parity depends on,
+        /root/reference/nexar_video_aug.py:713-719). Skipped when probing
+        fails or the content is already square.
+        """
         from vision_collision_detection_tpu.media.decoder import probe
         from vision_collision_detection_tpu.ops.letterbox import (
             letterbox_geometry,
         )
 
         S = self.cfg.data.frame_size
+        geoms = set()
         try:
-            rec = datasets[0].records[0]
-            info = probe(rec.video_path)
-            nh, nw, _, _ = letterbox_geometry(info.height, info.width, S)
+            for ds in datasets:
+                if ds is None or not getattr(ds, "records", None):
+                    continue
+                recs = ds.records
+                stride = max(1, len(recs) // probe_limit)
+                for rec in recs[::stride][:probe_limit]:
+                    info = probe(rec.video_path)
+                    nh, nw, _, _ = letterbox_geometry(info.height, info.width, S)
+                    geoms.add((nh, nw))
+                    if len(geoms) > 1:
+                        raise ValueError("mixed aspect")
+        except ValueError:
+            self.log.warning(
+                "content-box transfer disabled: datasets mix aspect ratios "
+                "%s — falling back to square decode", sorted(geoms),
+            )
+            return
         except Exception:
             return
+        if not geoms:
+            return
+        nh, nw = next(iter(geoms))
         box = (min(nh + nh % 2, S), min(nw + nw % 2, S))
         if box == (S, S):
             return
@@ -249,31 +304,38 @@ class Trainer:
         """Sharded evaluation + gather (gen-3b semantics)."""
         loader.set_epoch(epoch)
         t_eval = time.time()
-        probs, preds, targets, masks, pads, ids, losses, counts = (
-            [], [], [], [], [], [], [], []
-        )
+        # The loop only DISPATCHES: device outputs are stashed and synced
+        # once after the last batch, so host↔device latency never stalls the
+        # eval pipeline (VERDICT r1: per-batch float() syncs).
+        dev_outs, targets, masks, pads, ids = [], [], [], [], []
         it = device_prefetch(iter(loader), self.strategy.data_sharding)
         for i, batch in enumerate(it):
             if max_batches is not None and i >= max_batches:
                 break
-            mask = jnp.asarray(~(batch["error"] | batch["pad"]), jnp.float32)
+            # error/pad stay host-local numpy (device_prefetch only ships
+            # frames/sensor/target); the step input mask is globalized so
+            # its batch axis matches the (possibly multi-host) frame array.
+            mask_np = ~(batch["error"] | batch["pad"])
+            mask = self.strategy.globalize(mask_np.astype(np.float32))
             step_kw = ({"sensor": batch["sensor"]}
                        if self.cfg.model.use_sensor else {})
             out = self.eval_step(
                 self.state, batch["frames"], batch["target"], mask, **step_kw
             )
-            probs.append(self.strategy.to_host(out["probs"]).astype(np.float32))
-            preds.append(self.strategy.to_host(out["preds"]))
-            targets.append(np.asarray(batch["target"]))
-            masks.append(np.asarray(mask, bool))
+            dev_outs.append((out["probs"], out["preds"], out["loss"],
+                             int(mask_np.sum())))
+            targets.append(self.strategy.to_host(batch["target"]))
+            masks.append(mask_np)
             pads.append(np.asarray(batch["pad"], bool))
-            ids.extend(
-                i_ for i_, p_ in zip(batch["id"], batch["pad"]) if not p_
-            )
-            losses.append(float(out["loss"]))
-            counts.append(int(np.asarray(mask).sum()))
+            ids.extend(batch["id"])  # pads filtered after the gather
         if not targets:
             return {"loss": float("nan"), "num_samples": 0}
+
+        probs = [self.strategy.to_host(p).astype(np.float32)
+                 for p, _, _, _ in dev_outs]
+        preds = [self.strategy.to_host(p) for _, p, _, _ in dev_outs]
+        losses = [float(l) for _, _, l, _ in dev_outs]
+        counts = [c for _, _, _, c in dev_outs]
 
         arrays = {
             "probs": np.concatenate(probs),
@@ -281,6 +343,7 @@ class Trainer:
             "targets": np.concatenate(targets),
             "mask": np.concatenate(masks),
             "pad": np.concatenate(pads),
+            "ids": _ids_to_bytes(ids),
             "loss_sum": np.array(
                 [sum(l * c for l, c in zip(losses, counts))], np.float64
             ),
@@ -290,6 +353,7 @@ class Trainer:
         keep = ~arrays["pad"]
         for k in ("probs", "preds", "targets", "mask"):
             arrays[k] = arrays[k][keep]
+        ids = _bytes_to_ids(arrays["ids"][keep])
 
         m = arrays["mask"]
         metrics = classification_metrics(
@@ -345,7 +409,8 @@ class Trainer:
             if viz:
                 viz.start_epoch(epoch)
             self.train_loader.set_epoch(epoch)
-            run_loss, run_acc, n_steps = 0.0, 0.0, 0
+            acc = None  # device-side running metric sums, synced lazily
+            n_steps = 0
             it = device_prefetch(
                 iter(self.train_loader), self.strategy.data_sharding
             )
@@ -356,39 +421,46 @@ class Trainer:
                     ),
                     jax.process_index(),
                 )
-                mask = jnp.asarray(~(batch["error"] | batch["pad"]),
-                                   jnp.float32)
+                mask = self.strategy.globalize(
+                    (~(batch["error"] | batch["pad"])).astype(np.float32)
+                )
                 step_kw = ({"sensor": batch["sensor"]}
                            if self.cfg.model.use_sensor else {})
                 self.state, m = self.train_step(
                     self.state, batch["frames"], batch["target"], mask, key,
                     **step_kw,
                 )
-                run_loss += float(m["loss"])
-                run_acc += float(m["accuracy"])
+                # no host sync here: one fused device add keeps the dispatch
+                # queue ahead of the chip (metrics surface at log boundaries)
+                acc = m if acc is None else _metric_sum(acc, m)
                 n_steps += 1
-                if viz:
-                    viz.update_train_loss(float(m["loss"]), n_steps)
                 if profiling and n_steps >= tc.profile_steps:
                     jax.profiler.stop_trace()
                     profiling = False
                     self.log.info("profiler trace written to %s",
                                   os.path.join(self.run_dir, "profile"))
                 if tc.log_every_steps and n_steps % tc.log_every_steps == 0:
+                    vals = jax.device_get(acc)  # one sync per log window
                     elapsed = time.time() - t0
                     self.log.info(
                         "epoch %d step %d/%d loss %.4f acc %.3f (%.2f it/s)",
                         epoch, n_steps, self.steps_per_epoch,
-                        run_loss / n_steps, run_acc / n_steps,
+                        vals["loss"] / n_steps, vals["accuracy"] / n_steps,
                         n_steps / max(elapsed, 1e-6),
                     )
+                    if viz:
+                        viz.update_train_loss(
+                            vals["loss"] / n_steps, n_steps
+                        )
                 # mini-validation cascade (reference :1204-1269)
                 if mini_every and (step_i + 1) % mini_every == 0:
                     self._mini_validate_cascade(epoch)
 
+            vals = (jax.device_get(acc) if acc is not None
+                    else {"loss": 0.0, "accuracy": 0.0})
             train_metrics = {
-                "loss": run_loss / max(n_steps, 1),
-                "accuracy": run_acc / max(n_steps, 1),
+                "loss": float(vals["loss"]) / max(n_steps, 1),
+                "accuracy": float(vals["accuracy"]) / max(n_steps, 1),
             }
             val = self.evaluate(self.val_loader, epoch=epoch)
             if viz:
@@ -396,10 +468,7 @@ class Trainer:
                     {k: v for k, v in val.items()
                      if isinstance(v, (int, float))}
                 )
-                viz.mark_epoch(epoch, train_metrics={
-                    "loss": run_loss / max(n_steps, 1),
-                    "accuracy": run_acc / max(n_steps, 1),
-                })
+                viz.mark_epoch(epoch, train_metrics=dict(train_metrics))
             epoch_time = time.time() - t0
             lr = float(self.lr_schedule(self.state.step))
             self.history.append_epoch(
