@@ -25,7 +25,7 @@ import json, os, sys
 
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
-    + " --xla_force_host_platform_device_count=4"
+    + " --xla_force_host_platform_device_count=2"
 ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 sys.path.insert(0, os.environ["VCD_REPO"])
@@ -39,6 +39,11 @@ from vision_collision_detection_tpu.parallel.mesh import (
 # env vars).
 import jax
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: both workers share one compile, and suite reruns
+# skip the CPU XLA compile entirely (a 1-core host pays dearly for it)
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.environ["VCD_REPO"], ".test_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 maybe_initialize_distributed()
 
 import pandas as pd
@@ -52,7 +57,7 @@ from vision_collision_detection_tpu.config import ExperimentConfig
 from vision_collision_detection_tpu.train import Trainer
 
 assert jax.process_count() == 2, jax.process_count()
-assert len(jax.devices()) == 8  # 4 local x 2 processes
+assert len(jax.devices()) == 4  # 2 local x 2 processes
 
 df = pd.read_csv(os.environ["VCD_CSV"]).fillna({"sensor_path": ""})
 train, val, test = create_datasets_with_manual_split(
@@ -80,11 +85,11 @@ cfg = ExperimentConfig().override({
 
 strategy = DataParallelStrategy()
 assert strategy.num_data_shards == 2
-assert strategy.local_device_count == 4
+assert strategy.local_device_count == 2
 
 run_dir = os.path.join(os.environ["VCD_OUT"], f"run_p{jax.process_index()}")
 tr = Trainer(cfg, train, val, test, run_dir=run_dir, strategy=strategy)
-assert tr.train_loader.batch_size == 4  # per-host batch
+assert tr.train_loader.batch_size == 2  # per-host batch
 tr.train()
 res = tr.test()
 sync_global_devices("done")
@@ -134,7 +139,12 @@ def test_two_process_dp_train_eval(tmp_path):
             [sys.executable, str(worker_py)], env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         ))
-    outs = [p.communicate(timeout=900)[0].decode() for p in procs]
+    try:
+        outs = [p.communicate(timeout=2100)[0].decode() for p in procs]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
     for p, o in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{o[-4000:]}"
 
