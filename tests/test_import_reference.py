@@ -282,6 +282,40 @@ def test_full_model_resnet18_attention_parity():
                    "num_classes": 3}, x, atol=1e-4)
 
 
+# -------------------- attention_heads contract guard (VERDICT r2 #4) -------
+def test_attention_8_heads_parity():
+    """A non-default head count must survive the import round trip — logit
+    parity proves the softmax grouping matched, not just the shapes."""
+    torch.manual_seed(11)
+    m = TorchEnhancedFrameCNN(TorchResNet18(), 512, "attention",
+                              num_classes=3, attention_heads=8)
+    _randomize_running_stats(m)
+    x = np.random.default_rng(11).random((2, 12, 64, 64, 3)).astype(np.float32)
+    hp = _roundtrip(m, {"base_model": "resnet18", "temporal_mode": "attention",
+                        "num_classes": 3, "attention_heads": 8}, x, atol=1e-4)
+    assert hp["attention_heads"] == 8
+
+
+def test_attention_heads_contract_contradiction_raises():
+    """hyperparams claiming a head count that does not divide the embed dim
+    is a corrupt contract — must fail loudly, not silently mis-group."""
+    torch.manual_seed(12)
+    m = TorchEnhancedFrameCNN(TorchResNet18(), 512, "attention", num_classes=3)
+    sd = m.state_dict()
+    with pytest.raises(ValueError, match="attention_heads"):
+        derive_hyperparams(sd, {"base_model": "resnet18",
+                                "attention_heads": 7})
+
+
+def test_attention_heads_missing_warns_and_defaults():
+    torch.manual_seed(13)
+    m = TorchEnhancedFrameCNN(TorchResNet18(), 512, "attention", num_classes=3)
+    sd = m.state_dict()
+    with pytest.warns(UserWarning, match="attention_heads"):
+        hp = derive_hyperparams(sd, {"base_model": "resnet18"})
+    assert hp["attention_heads"] == 4
+
+
 # -------------------- 5-way head sweep (tiny backbone skipped; heads are
 # exercised through resnet18 to keep the converter honest end-to-end) -------
 @pytest.mark.parametrize("mode", ["lstm", "rnn", "convolution", "pooling"])

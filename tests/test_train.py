@@ -140,6 +140,32 @@ class TestTrainerE2E:
         assert {"id", "target", "predicted", "prob_normal",
                 "prob_near_collision", "prob_collision"} <= set(preds.columns)
 
+    def test_mini_val_cascade_updates_dashboard(self, synth_splits, tmp_path):
+        """The cascade must render mini-val (and, on improvement, full-val)
+        rows on the dashboard (reference nexar_train.py:510,1204-1269)."""
+        cfg = tiny_config()
+        train, val, _ = create_datasets_with_manual_split(
+            synth_splits, fps=5, duration=1, frame_size=32,
+        )
+        tr = Trainer(cfg, train, val, run_dir=str(tmp_path / "viz_run"))
+
+        calls = {"mini": [], "full": []}
+
+        class _Recorder:
+            def update_val_metrics(self, m):
+                calls["mini"].append(m)
+
+            def update_full_val_metrics(self, m):
+                calls["full"].append(m)
+
+        tr._viz = _Recorder()
+        tr._mini_validate_cascade(epoch=0)
+        assert len(calls["mini"]) == 1
+        assert "loss" in calls["mini"][0]
+        # fresh trainer: best_mini_loss is inf, so the cascade always runs
+        # the full validation and must render it too
+        assert len(calls["full"]) == 1
+
     def test_resume_continues(self, synth_splits, tmp_path):
         cfg = tiny_config()
         train, val, test = create_datasets_with_manual_split(

@@ -162,6 +162,39 @@ def derive_hyperparams(sd: Dict, hyperparams: Optional[Dict] = None) -> Dict:
     head = _subdict(sd, "temporal_aggregation.")
     if "attention.in_proj_weight" in head:
         hp["temporal_mode"] = "attention"
+        # nn.MultiheadAttention packs QKV, so the head count is NOT
+        # shape-recoverable — the hyperparams contract is the only source
+        # (/root/reference/nexar_arch.py:20,36-47). Validate what we can:
+        # the embed dim must divide evenly, and a missing field means we
+        # silently assume the reference default of 4, which yields wrong
+        # softmax grouping (not a shape error) if the checkpoint was
+        # trained with another value — warn loudly.
+        d = _t(head["attention.in_proj_weight"]).shape[1]
+        if "attention_heads" in hp:
+            heads = int(hp["attention_heads"])
+            if heads <= 0 or d % heads:
+                raise ValueError(
+                    f"checkpoint hyperparams claim attention_heads="
+                    f"{heads}, but the attention embed dim is {d} "
+                    f"(not divisible); the contract contradicts the "
+                    f"state_dict shapes")
+        else:
+            import warnings
+
+            warnings.warn(
+                f"checkpoint hyperparams omit 'attention_heads'; assuming "
+                f"the reference default of 4 "
+                f"(/root/reference/nexar_arch.py:20). If this checkpoint "
+                f"was trained with a different head count the logits will "
+                f"be silently wrong — pass hyperparams explicitly. "
+                f"(embed dim {d})",
+                stacklevel=2)
+            hp["attention_heads"] = 4
+            if d % 4:
+                raise ValueError(
+                    f"attention embed dim {d} is not divisible by the "
+                    f"assumed default of 4 heads; 'attention_heads' must "
+                    f"be supplied in hyperparams")
     elif "conv_block.0.weight" in head:
         hp["temporal_mode"] = "convolution"
     elif "rnn.weight_ih_l0" in head:

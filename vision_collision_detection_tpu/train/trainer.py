@@ -389,6 +389,8 @@ class Trainer:
             viz = create_distributed_visualizer(
                 epochs, self.steps_per_epoch, self.run_dir
             )
+        # cascade renders mini-val rows mid-epoch (reference :510,1204-1269)
+        self._viz = viz
         self.log.info(
             "training %s: %d epochs × %d steps, %d val clips",
             self.cfg.name(), epochs, self.steps_per_epoch,
@@ -535,6 +537,11 @@ class Trainer:
         mini = self.evaluate(
             self.mini_val_loader, max_batches=tc.mini_val_batches, epoch=epoch
         )
+        viz = getattr(self, "_viz", None)
+        if viz:
+            viz.update_val_metrics(
+                {k: v for k, v in mini.items() if isinstance(v, (int, float))}
+            )
         if mini.get("num_samples", 0) and mini["loss"] < self.best_mini_loss:
             self.best_mini_loss = mini["loss"]
             full = self.evaluate(self.val_loader, epoch=epoch)
@@ -542,6 +549,11 @@ class Trainer:
                 "mini-val improved (%.4f) → full val loss %.4f",
                 mini["loss"], full["loss"],
             )
+            if viz:
+                viz.update_full_val_metrics(
+                    {k: v for k, v in full.items()
+                     if isinstance(v, (int, float))}
+                )
             if full["loss"] < self.best_val_loss:
                 self.best_val_loss = full["loss"]
                 self._save("best", epoch)
