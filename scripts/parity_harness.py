@@ -4,7 +4,7 @@ The north star is collision-AUC parity ±0.002 with the reference
 (BASELINE.md; AUC oracle /root/reference/nexar_train.py:1496-1506). Real
 NVIDIA dashcam data and trained weights are not available in this
 environment, so this harness measures the full-pipeline numerical drift on
-synthetic labeled clips with a seeded reference-architecture model:
+synthetic labeled clips with a reference-architecture model:
 
   torch side:  decode → per-frame antialiased resize + normalize (the
                reference's transform loop, nexar_video_aug.py:705-801) →
@@ -13,14 +13,24 @@ synthetic labeled clips with a seeded reference-architecture model:
                CollisionPredictor (C++ decode, fused device preprocessing,
                ReferenceVideoClassifier) → probs
 
+To make the AUC comparison meaningful the torch model is briefly trained
+before export: the temporal head + classifier are fit on frozen backbone
+features of the synthetic clips (``--head-train-steps``). With purely random
+weights all class probabilities sit within ~1e-4 of each other and the AUC
+rank order is decided by noise smaller than legitimate pipeline drift
+(decode, resize filter, layout) — exactly the regime a real trained
+checkpoint is NOT in. A trained head separates the logits the way real
+checkpoints do, so the measured AUC delta reflects pipeline parity, not
+tie-breaking.
+
 Reported: max/mean abs prob diff, prediction agreement, weighted OvR AUC of
 both sides against the synthetic labels, and the AUC delta. Because both
-sides share weights, every remaining difference is pipeline numerics
-(decode, resize filter, normalize, layout) — exactly what the ±0.002 budget
-must absorb once real weights exist.
+sides share weights, every remaining difference is pipeline numerics —
+exactly what the ±0.002 budget must absorb once real weights exist.
 
-Writes PARITY_r02.json at the repo root; add --checkpoint to run against a
-real reference .pth instead of seeded random weights.
+Writes PARITY_r03.json at the repo root; add --checkpoint to run against a
+real reference .pth instead. tests/test_parity_regression.py runs a CI-fast
+variant of ``run_parity`` so pipeline drift cannot regress silently.
 """
 
 from __future__ import annotations
@@ -41,48 +51,98 @@ def log(m):
     print(m, file=sys.stderr, flush=True)
 
 
-def torch_pipeline_probs(model, paths, num_frames, frame_size):
-    """The reference's eval data path, in torch (cited in module docstring)."""
+def torch_preprocess(paths, num_frames, frame_size):
+    """The reference's eval-time transform in torch: decode → /255 →
+    antialiased bilinear letterbox → normalize (nexar_video_aug.py:705-801).
+    Returns [N, T, H, W, C] float32."""
     import torch
     import torch.nn.functional as tF
 
     from vision_collision_detection_tpu.media.decoder import decode_frames
     from vision_collision_detection_tpu.ops.letterbox import letterbox_geometry
 
+    clips = []
+    for p in paths:
+        frames = decode_frames(p, list(range(num_frames)))  # [T,H,W,C] u8
+        t = torch.from_numpy(frames).permute(0, 3, 1, 2).float() / 255.0
+        nh, nw, ph, pw = letterbox_geometry(t.shape[2], t.shape[3], frame_size)
+        r = tF.interpolate(t, size=(nh, nw), mode="bilinear",
+                           align_corners=False, antialias=True)
+        canvas = torch.zeros(num_frames, 3, frame_size, frame_size)
+        canvas[:, :, ph:ph + nh, pw:pw + nw] = r
+        canvas = (canvas - 0.45) / 0.225
+        clips.append(canvas.permute(0, 2, 3, 1))  # [T,H,W,C]
+    return torch.stack(clips)
+
+
+def torch_pipeline_probs(model, x):
+    import torch
+
     probs = []
     model.eval()
     with torch.no_grad():
-        for p in paths:
-            frames = decode_frames(p, list(range(num_frames)))  # [T,H,W,C] u8
-            t = torch.from_numpy(frames).permute(0, 3, 1, 2).float() / 255.0
-            nh, nw, ph, pw = letterbox_geometry(
-                t.shape[2], t.shape[3], frame_size)
-            r = tF.interpolate(t, size=(nh, nw), mode="bilinear",
-                               align_corners=False, antialias=True)
-            canvas = torch.zeros(num_frames, 3, frame_size, frame_size)
-            canvas[:, :, ph:ph + nh, pw:pw + nw] = r
-            canvas = (canvas - 0.45) / 0.225
-            x = canvas.permute(0, 2, 3, 1)[None]  # [1,T,H,W,C]
-            logits = model(x)
+        for i in range(x.shape[0]):
+            logits = model(x[i:i + 1])
             probs.append(torch.softmax(logits, dim=-1)[0].numpy())
     return np.stack(probs)
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--checkpoint", default="",
-                    help="real reference .pth (default: seeded random weights)")
-    ap.add_argument("--clips-per-class", type=int, default=6)
-    ap.add_argument("--frame-size", type=int, default=224)
-    ap.add_argument("--fps", type=int, default=10)
-    ap.add_argument("--duration", type=int, default=5)
-    ap.add_argument("--backbone", default="resnet18",
-                    choices=["resnet18", "convnext_tiny"])
-    ap.add_argument("--temporal-mode", default="gru")
-    ap.add_argument("--workdir", default="/tmp/vcd_parity")
-    ap.add_argument("--output", default=os.path.join(REPO, "PARITY_r02.json"))
-    args = ap.parse_args()
+def extract_backbone_features(model, x, batch_frames=64):
+    """Frozen-backbone features with the model's own subsample rule
+    (::2 when T>10, /root/reference/nexar_arch.py:412-415) → [N, T', D]."""
+    import torch
 
+    model.eval()
+    with torch.no_grad():
+        v = x.permute(0, 4, 1, 2, 3)  # [N,C,T,H,W]
+        if v.shape[2] > 10:
+            v = v[:, :, ::2]
+        N, C, T, H, W = v.shape
+        flat = v.permute(0, 2, 1, 3, 4).reshape(N * T, C, H, W)
+        feats = []
+        for i in range(0, flat.shape[0], batch_frames):
+            feats.append(model.backbone(flat[i:i + batch_frames]))
+        return torch.cat(feats).reshape(N, T, -1)
+
+
+def head_forward(model, feats):
+    if model.temporal_mode in ("attention", "rnn", "lstm", "gru"):
+        pooled, _ = model.temporal_aggregation(feats)
+    else:
+        pooled, _ = model.temporal_aggregation(feats.permute(0, 2, 1))
+    return model.classifier(pooled)
+
+
+def train_head(model, x, y, steps=150, lr=3e-4, batch=6, seed=0):
+    """Fit temporal head + classifier on frozen backbone features so the
+    exported checkpoint separates classes like a real trained one."""
+    import torch
+
+    feats = extract_backbone_features(model, x)
+    yt = torch.as_tensor(y, dtype=torch.long)
+    params = list(model.temporal_aggregation.parameters()) + list(
+        model.classifier.parameters())
+    opt = torch.optim.Adam(params, lr=lr)
+    g = torch.Generator().manual_seed(seed)
+    model.temporal_aggregation.train()
+    model.classifier.train()
+    for _ in range(steps):
+        idx = torch.randperm(feats.shape[0], generator=g)[:batch]
+        opt.zero_grad()
+        loss = torch.nn.functional.cross_entropy(
+            head_forward(model, feats[idx]), yt[idx])
+        loss.backward()
+        opt.step()
+    model.eval()
+    return float(loss.detach())
+
+
+def run_parity(backbone="resnet18", temporal_mode="gru", clips_per_class=6,
+               frame_size=224, fps=10, duration=5, head_train_steps=150,
+               workdir="/tmp/vcd_parity", checkpoint="", height=360,
+               width=640, batch_size=4, num_workers=2):
+    """Build (or load) a reference-architecture torch model, run both
+    pipelines on shared weights, return the parity record dict."""
     import torch
 
     import jax  # noqa: F401  (platform init before heavy work)
@@ -97,15 +157,15 @@ def main() -> int:
     from vision_collision_detection_tpu.media.synthetic import generate_dataset
     from vision_collision_detection_tpu.metrics import classification_metrics
 
-    num_frames = args.fps * args.duration
-
-    # --- synthetic labeled clips (dashcam-ish motion per class) -------------
     import pandas as pd
 
+    num_frames = fps * duration
+
+    # --- synthetic labeled clips (dashcam-ish motion per class) -------------
     csv = generate_dataset(
-        os.path.join(args.workdir, "clips"),
-        clips_per_class=args.clips_per_class,
-        num_frames=num_frames, height=360, width=640, fps=args.fps,
+        os.path.join(workdir, "clips"),
+        clips_per_class=clips_per_class,
+        num_frames=num_frames, height=height, width=width, fps=fps,
         splits=("test",),
     )
     df = pd.read_csv(csv)
@@ -116,9 +176,8 @@ def main() -> int:
     log(f"{len(paths)} clips")
 
     # --- reference model (torch) --------------------------------------------
-    if args.checkpoint:
-        ckpt = torch.load(args.checkpoint, map_location="cpu",
-                          weights_only=False)
+    if checkpoint:
+        ckpt = torch.load(checkpoint, map_location="cpu", weights_only=False)
         hp = ckpt.get("hyperparams", {})
         backbone_name = hp.get("base_model", "convnext_tiny")
         mode = hp.get("temporal_mode", "gru")
@@ -128,36 +187,45 @@ def main() -> int:
         tmodel = TorchEnhancedFrameCNN(bb, dim, mode,
                                        num_classes=hp.get("num_classes", 3))
         tmodel.load_state_dict(ckpt["model_state_dict"])
-        src = args.checkpoint
+        src = checkpoint
     else:
         torch.manual_seed(7)
-        bb = (TorchConvNeXtTiny() if args.backbone == "convnext_tiny"
+        bb = (TorchConvNeXtTiny() if backbone == "convnext_tiny"
               else TorchResNet18())
-        dim = 768 if args.backbone == "convnext_tiny" else 512
-        tmodel = TorchEnhancedFrameCNN(bb, dim, args.temporal_mode,
-                                       num_classes=3)
+        dim = 768 if backbone == "convnext_tiny" else 512
+        tmodel = TorchEnhancedFrameCNN(bb, dim, temporal_mode, num_classes=3)
         _randomize_running_stats(tmodel)
-        backbone_name, mode = args.backbone, args.temporal_mode
+        backbone_name, mode = backbone, temporal_mode
         src = "seeded-random"
     tmodel.eval()
 
-    # --- torch-side pipeline -------------------------------------------------
+    # --- torch-side preprocessing (shared with head training) ---------------
+    log("torch preprocessing ...")
+    x = torch_preprocess(paths, num_frames, frame_size)
+
+    if not checkpoint and head_train_steps > 0:
+        log(f"training head+classifier for {head_train_steps} steps ...")
+        final_loss = train_head(tmodel, x, y, steps=head_train_steps)
+        log(f"final head-train loss {final_loss:.4f}")
+        src = f"seeded-random + {head_train_steps}-step head fit"
+
     log("torch pipeline ...")
-    probs_t = torch_pipeline_probs(tmodel, paths, num_frames, args.frame_size)
+    probs_t = torch_pipeline_probs(tmodel, x)
 
     # --- our pipeline via checkpoint import ----------------------------------
     log("importing checkpoint + running our pipeline ...")
-    pth = os.path.join(args.workdir, "ref_ckpt.pth")
+    pth = os.path.join(workdir, "ref_ckpt.pth")
     torch.save({"model_state_dict": tmodel.state_dict(),
                 "hyperparams": {"base_model": backbone_name,
                                 "temporal_mode": mode,
                                 "num_classes": 3}}, pth)
     pred = CollisionPredictor.from_torch_checkpoint(pth)
     pred.cfg = pred.cfg.override({
-        "data.fps": args.fps, "data.duration": args.duration,
-        "data.frame_size": args.frame_size, "data.num_workers": 2,
+        "data.fps": fps, "data.duration": duration,
+        "data.frame_size": frame_size, "data.num_workers": num_workers,
     })
-    results = pred.predict(paths, sample_strategy="center", batch_size=4)
+    results = pred.predict(paths, sample_strategy="center",
+                           batch_size=batch_size)
     by_path = {r["video_path"]: r for r in results}
     probs_o = np.stack([
         np.array([by_path[p]["probabilities"][c]
@@ -174,7 +242,7 @@ def main() -> int:
         "weights": src,
         "model": f"{backbone_name}+{mode}",
         "n_clips": len(paths),
-        "frame_size": args.frame_size,
+        "frame_size": frame_size,
         "num_frames": num_frames,
         "max_abs_prob_diff": float(diff.max()),
         "mean_abs_prob_diff": float(diff.mean()),
@@ -185,6 +253,33 @@ def main() -> int:
     }
     out["auc_delta"] = abs(out["auc_torch_pipeline"] - out["auc_our_pipeline"])
     out["within_auc_budget_0.002"] = bool(out["auc_delta"] <= 0.002)
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--checkpoint", default="",
+                    help="real reference .pth (default: seeded weights + "
+                         "head fit on the synthetic clips)")
+    ap.add_argument("--clips-per-class", type=int, default=6)
+    ap.add_argument("--frame-size", type=int, default=224)
+    ap.add_argument("--fps", type=int, default=10)
+    ap.add_argument("--duration", type=int, default=5)
+    ap.add_argument("--head-train-steps", type=int, default=150)
+    ap.add_argument("--backbone", default="resnet18",
+                    choices=["resnet18", "convnext_tiny"])
+    ap.add_argument("--temporal-mode", default="gru")
+    ap.add_argument("--workdir", default="/tmp/vcd_parity")
+    ap.add_argument("--output", default=os.path.join(REPO, "PARITY_r03.json"))
+    args = ap.parse_args()
+
+    out = run_parity(
+        backbone=args.backbone, temporal_mode=args.temporal_mode,
+        clips_per_class=args.clips_per_class, frame_size=args.frame_size,
+        fps=args.fps, duration=args.duration,
+        head_train_steps=args.head_train_steps, workdir=args.workdir,
+        checkpoint=args.checkpoint,
+    )
     with open(args.output, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out, indent=2))

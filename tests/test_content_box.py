@@ -153,3 +153,33 @@ def test_trainer_enables_content_box_on_uniform_aspect(tmp_path):
     Trainer(cfg, train, val, test, run_dir=str(tmp_path / "run"))
     # 120x160 → 32: nh = int(120 * 0.2) = 24 (even) → box (24, 32)
     assert train.content_box == (24, 32)
+
+
+def test_cpp_resampler_matches_torch_antialias(video_120x160):
+    """The C++ decode-time letterbox resize must match torchvision's
+    F.resize(antialias=True) filter (the reference's transform,
+    /root/reference/nexar_video_aug.py:723-736) up to uint8 wire
+    quantization (0.5/255) — this is what keeps the content-box fast path
+    inside the AUC-parity budget."""
+    import torch
+    import torch.nn.functional as tF
+
+    from vision_collision_detection_tpu.media.decoder import decode_frames
+
+    S = 64
+    frames = decode_frames(video_120x160, list(range(8)))  # native [8,120,160,3]
+    nh, nw, ph, pw = letterbox_geometry(120, 160, S)
+
+    t = torch.from_numpy(frames).permute(0, 3, 1, 2).float() / 255.0
+    ref = tF.interpolate(t, size=(nh, nw), mode="bilinear",
+                         align_corners=False, antialias=True)
+    ref = ref.permute(0, 2, 3, 1).numpy()  # [8, nh, nw, 3] float
+
+    box = (nh + nh % 2, nw)
+    cb = _dataset(video_120x160, box).get(0, epoch=0)["frames"]
+    got = cb[:, :nh, :nw].astype(np.float32) / 255.0
+
+    # center sampling takes 4 of the 8 frames starting at (8-4)//2 = 2
+    d = np.abs(got - ref[2:2 + got.shape[0]])
+    assert d.max() <= 0.5 / 255 + 1e-6, f"max diff {d.max()}"
+    assert d.mean() < 1e-3

@@ -152,6 +152,94 @@ void letterbox_geometry(int h, int w, int target_h, int target_w, int* new_h,
   *pad_w = (target_w - *new_w) / 2;
 }
 
+// ---------------------------------------------------------------------------
+// Antialiased bilinear (triangle) resampler matching torchvision
+// F.resize(antialias=True) — the reference's resize filter
+// (/root/reference/nexar_video_aug.py:723-736). PIL-style coefficient
+// construction: support scaled by the downscale ratio, window clipped to the
+// image and re-normalized; float accumulation; round-to-nearest uint8. The
+// only remaining difference vs the reference's float pipeline is the uint8
+// wire quantization (≤ 0.5/255 per pixel). swscale's SWS_AREA approximation
+// produced edge errors up to 0.18 in [0,1] units; this is exact.
+// ---------------------------------------------------------------------------
+struct AAFilter {
+  std::vector<int> xmin, xsize;
+  std::vector<float> weights;  // [out_size, ksize]
+  int ksize = 0;
+};
+
+AAFilter make_aa_filter(int in_size, int out_size) {
+  AAFilter f;
+  double scale = (double)in_size / out_size;
+  double filterscale = std::max(1.0, scale);
+  double support = filterscale;  // triangle filter support = 1.0
+  f.ksize = (int)std::ceil(support) * 2 + 1;
+  f.xmin.resize(out_size);
+  f.xsize.resize(out_size);
+  f.weights.assign((size_t)out_size * f.ksize, 0.0f);
+  double ss = 1.0 / filterscale;
+  for (int i = 0; i < out_size; i++) {
+    double center = (i + 0.5) * scale;
+    int xmin = (int)(center - support + 0.5);
+    if (xmin < 0) xmin = 0;
+    int xmax = (int)(center + support + 0.5);
+    if (xmax > in_size) xmax = in_size;
+    int n = xmax - xmin;
+    double total = 0.0;
+    std::vector<double> w((size_t)n);
+    for (int k = 0; k < n; k++) {
+      double x = (k + xmin - center + 0.5) * ss;
+      double v = 1.0 - std::abs(x);
+      w[k] = v > 0.0 ? v : 0.0;
+      total += w[k];
+    }
+    f.xmin[i] = xmin;
+    f.xsize[i] = n;
+    for (int k = 0; k < n; k++)
+      f.weights[(size_t)i * f.ksize + k] =
+          (float)(total > 0.0 ? w[k] / total : 0.0);
+  }
+  return f;
+}
+
+// src [sh, sw, 3] u8 → dst [dh, dw, 3] u8; tmp is caller scratch.
+void resize_bilinear_aa(const unsigned char* src, int sh, int sw,
+                        unsigned char* dst, int dh, int dw,
+                        const AAFilter& fx, const AAFilter& fy,
+                        std::vector<float>& tmp) {
+  tmp.resize((size_t)sh * dw * 3);
+  for (int y = 0; y < sh; y++) {  // horizontal pass
+    const unsigned char* srow = src + (size_t)y * sw * 3;
+    float* trow = tmp.data() + (size_t)y * dw * 3;
+    for (int x = 0; x < dw; x++) {
+      const float* w = &fx.weights[(size_t)x * fx.ksize];
+      const unsigned char* p = srow + (size_t)fx.xmin[x] * 3;
+      float r = 0.f, g = 0.f, b = 0.f;
+      for (int k = 0; k < fx.xsize[x]; k++, p += 3) {
+        r += w[k] * p[0];
+        g += w[k] * p[1];
+        b += w[k] * p[2];
+      }
+      trow[x * 3 + 0] = r;
+      trow[x * 3 + 1] = g;
+      trow[x * 3 + 2] = b;
+    }
+  }
+  const int row_elems = dw * 3;
+  for (int y = 0; y < dh; y++) {  // vertical pass
+    const float* w = &fy.weights[(size_t)y * fy.ksize];
+    const float* tbase = tmp.data() + (size_t)fy.xmin[y] * row_elems;
+    unsigned char* drow = dst + (size_t)y * row_elems;
+    for (int x = 0; x < row_elems; x++) {
+      float acc = 0.f;
+      for (int k = 0; k < fy.xsize[y]; k++)
+        acc += w[k] * tbase[(size_t)k * row_elems + x];
+      int v = (int)(acc + 0.5f);
+      drow[x] = (unsigned char)(v < 0 ? 0 : (v > 255 ? 255 : v));
+    }
+  }
+}
+
 }  // namespace
 
 // ---------------------------------------------------------------------------
@@ -206,11 +294,12 @@ long vcd_decode(const char* path, const long* indices, long n_indices,
                        &pad_w);
   }
 
-  // SWS_AREA approximates the antialiased downscale the reference gets from
-  // torchvision F.resize(antialias=True); bilinear for upscales.
-  int sws_flags = (sc_w < src_w || sc_h < src_h) ? SWS_AREA : SWS_BILINEAR;
-  SwsContext* sws = sws_getContext(src_w, src_h, r.dec->pix_fmt, sc_w, sc_h,
-                                   AV_PIX_FMT_RGB24, sws_flags, nullptr,
+  // swscale only converts pixel format at native size; all scaling goes
+  // through the torch-exact AA resampler above. SWS_BILINEAR keeps the
+  // chroma upsampling identical to the native-decode path.
+  const bool needs_resize = (sc_w != src_w || sc_h != src_h);
+  SwsContext* sws = sws_getContext(src_w, src_h, r.dec->pix_fmt, src_w, src_h,
+                                   AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr,
                                    nullptr, nullptr);
   if (!sws) {
     set_error("sws_getContext failed");
@@ -218,7 +307,15 @@ long vcd_decode(const char* path, const long* indices, long n_indices,
   }
 
   const size_t frame_bytes = (size_t)out_h * out_w * 3;
-  std::vector<unsigned char> scaled((size_t)sc_h * sc_w * 3);
+  std::vector<unsigned char> native_rgb((size_t)src_h * src_w * 3);
+  std::vector<unsigned char> scaled(
+      needs_resize && letterbox ? (size_t)sc_h * sc_w * 3 : 0);
+  std::vector<float> aa_tmp;
+  AAFilter fx, fy;
+  if (needs_resize) {
+    fx = make_aa_filter(src_w, sc_w);
+    fy = make_aa_filter(src_h, sc_h);
+  }
 
   // Seek to the keyframe at/before the first wanted frame.
   int64_t first_pts = r.pts_of_frame(indices[0]);
@@ -237,19 +334,26 @@ long vcd_decode(const char* path, const long* indices, long n_indices,
 
   auto convert_and_store = [&](AVFrame* f, long out_slot) {
     unsigned char* dst_frame = out + (size_t)out_slot * frame_bytes;
+    uint8_t* nat_data[1] = {native_rgb.data()};
+    int nat_linesize[1] = {src_w * 3};
+    sws_scale(sws, f->data, f->linesize, 0, src_h, nat_data, nat_linesize);
     if (letterbox) {
       std::memset(dst_frame, 0, frame_bytes);
-      uint8_t* dst_data[1] = {scaled.data()};
-      int dst_linesize[1] = {sc_w * 3};
-      sws_scale(sws, f->data, f->linesize, 0, src_h, dst_data, dst_linesize);
+      const unsigned char* content = native_rgb.data();
+      if (needs_resize) {
+        resize_bilinear_aa(native_rgb.data(), src_h, src_w, scaled.data(),
+                           sc_h, sc_w, fx, fy, aa_tmp);
+        content = scaled.data();
+      }
       for (int row = 0; row < sc_h; row++) {
         std::memcpy(dst_frame + ((size_t)(pad_h + row) * out_w + pad_w) * 3,
-                    scaled.data() + (size_t)row * sc_w * 3, (size_t)sc_w * 3);
+                    content + (size_t)row * sc_w * 3, (size_t)sc_w * 3);
       }
+    } else if (needs_resize) {
+      resize_bilinear_aa(native_rgb.data(), src_h, src_w, dst_frame, sc_h,
+                         sc_w, fx, fy, aa_tmp);
     } else {
-      uint8_t* dst_data[1] = {dst_frame};
-      int dst_linesize[1] = {out_w * 3};
-      sws_scale(sws, f->data, f->linesize, 0, src_h, dst_data, dst_linesize);
+      std::memcpy(dst_frame, native_rgb.data(), frame_bytes);
     }
   };
 
