@@ -14,11 +14,16 @@ forwards — i.e., the reference's pipeline shape with only the math library
 swapped. The ratio isolates the TPU-first design wins: fused batched
 preprocessing, uint8 host→device transfer, and batched MXU inference.
 
-Methodology (hardened per round-1 review):
-- every leg reports the MEDIAN of ≥3 trials (stderr shows each trial);
+Methodology (hardened per round-1 and round-2 review):
+- every leg reports the MEDIAN of its trials (stderr shows each trial);
+- the HEADLINE ratio comes from ≥5 e2e trials INTERLEAVED with ≥5
+  baseline trials (ababab...), each baseline trial over ≥32 clips, so
+  host load drift hits both legs equally; per-leg spread
+  ((max-min)/median) is recorded in diagnostics;
 - stage breakdown in diagnostics: decode-only clips/s (host ceiling),
   device-only clips/s (chip capability), e2e clips/s (the metric);
-- the reference-style leg runs ≥16 clips per trial;
+- a decode-scaling leg times the C++ batch decoder at pool sizes 1/2/4
+  on identical work (decode parallelism evidence for multi-core hosts);
 - a train-step leg reports train clips/s, step-time ms, and an MFU estimate
   from XLA's cost analysis.
 
@@ -44,8 +49,9 @@ SRC_H, SRC_W = 720, 1280  # dashcam-typical 720p
 FRAME_SIZE = 224
 BATCH = 16
 PASSES = 4
-BASELINE_CLIPS = 16
+BASELINE_CLIPS = 32
 TRIALS = 3
+HEADLINE_TRIALS = 5  # interleaved e2e/baseline pairs
 
 # bf16 peak FLOP/s per chip for MFU estimates (public TPU specs)
 _PEAK_FLOPS = {
@@ -198,8 +204,9 @@ def bench_device_only(forward, ds) -> tuple:
     return _median_trials(one, label="device-only")
 
 
-def bench_tpu_pipeline(ds, forward) -> tuple:
-    """Our e2e pipeline: threaded C++ decode → device batches → fused program."""
+def setup_tpu_pipeline(ds, forward):
+    """Our e2e pipeline: threaded C++ decode → device batches → fused
+    program. Returns a warmed single-trial closure (clips/s)."""
     from vision_collision_detection_tpu.data.loader import ClipLoader, device_prefetch
 
     loader = ClipLoader(ds, BATCH, num_workers=min(16, os.cpu_count() or 8),
@@ -223,12 +230,13 @@ def bench_tpu_pipeline(ds, forward) -> tuple:
         out.block_until_ready()
         return n / (time.perf_counter() - t0)
 
-    return _median_trials(one, label="e2e tpu pipeline")
+    return one
 
 
-def bench_reference_style(paths, cfg) -> tuple:
+def setup_reference_style(paths, cfg):
     """Reference-shaped pipeline: sequential decode, per-frame Python
-    transform loop, unbatched fp32 forwards."""
+    transform loop, unbatched fp32 forwards. Returns a warmed
+    single-trial closure (clips/s)."""
     import jax
     import jax.numpy as jnp
     from PIL import Image
@@ -280,7 +288,32 @@ def bench_reference_style(paths, cfg) -> tuple:
         out.block_until_ready()
         return BASELINE_CLIPS / (time.perf_counter() - t0)
 
-    return _median_trials(one, label="reference-style pipeline")
+    return one
+
+
+def bench_decode_scaling(paths) -> dict:
+    """C++ batch-decoder pool scaling: identical work at 1/2/4 threads.
+    On a multi-core host this shows near-linear scaling; on a 1-core host
+    it bounds the pool's coordination overhead (the two together turn
+    BENCH.md's cores→clips/s extrapolation into measurement)."""
+    from vision_collision_detection_tpu.data.datasets import ClipDataset  # noqa: F401
+    from vision_collision_detection_tpu.media.decoder import decode_batch
+    from vision_collision_detection_tpu.ops.letterbox import letterbox_geometry
+
+    nh, nw, _, _ = letterbox_geometry(SRC_H, SRC_W, FRAME_SIZE)
+    content = (nh + nh % 2, nw + nw % 2)
+    n = min(len(paths), 16)
+    idx = np.tile(np.arange(0, CLIP_FRAMES, 2, dtype=np.int64), (n, 1))
+    decode_batch(paths[:n], idx, content)  # warm page/file caches
+    out = {}
+    for threads in (1, 2, 4):
+        t0 = time.perf_counter()
+        decode_batch(paths[:n], idx, content, num_threads=threads)
+        dt = time.perf_counter() - t0
+        out[f"pool_{threads}"] = round(n / dt, 3)
+        log(f"decode-scaling pool={threads}: {n / dt:.2f} clips/s")
+    out["host_cores"] = os.cpu_count()
+    return out
 
 
 def bench_train_step(cfg) -> dict:
@@ -375,8 +408,24 @@ def main() -> None:
 
     decode_med, decode_trials = bench_decode_only(ds)
     device_med, device_trials = bench_device_only(forward, ds)
-    e2e_med, e2e_trials = bench_tpu_pipeline(ds, forward)
-    base_med, base_trials = bench_reference_style(paths, cfg)
+
+    # headline legs: interleaved trials (ababab...) so host load drift
+    # hits the numerator and denominator equally
+    e2e_one = setup_tpu_pipeline(ds, forward)
+    base_one = setup_reference_style(paths, cfg)
+    e2e_trials, base_trials = [], []
+    for t in range(HEADLINE_TRIALS):
+        e2e_trials.append(e2e_one())
+        log(f"e2e tpu pipeline trial {t}: {e2e_trials[-1]:.2f} clips/s")
+        base_trials.append(base_one())
+        log(f"reference-style trial {t}: {base_trials[-1]:.2f} clips/s")
+    e2e_med = statistics.median(e2e_trials)
+    base_med = statistics.median(base_trials)
+
+    def spread(rs):
+        return round((max(rs) - min(rs)) / statistics.median(rs), 3)
+
+    decode_scaling = bench_decode_scaling(paths)
     if run_train:
         train_diag = bench_train_step(cfg)
 
@@ -384,6 +433,8 @@ def main() -> None:
     log(f"stage split: decode-only {decode_med:.2f} | device-only "
         f"{device_med:.2f} | e2e {e2e_med:.2f} clips/s → bottleneck: "
         f"{bottleneck}")
+    log(f"e2e spread {spread(e2e_trials)} | baseline spread "
+        f"{spread(base_trials)}")
     log(f"total bench time {time.time() - t_start:.1f}s")
     print(json.dumps({
         "metric": "clips_per_sec_per_chip_e2e_decode_to_infer",
@@ -396,9 +447,13 @@ def main() -> None:
             "device_only_clips_per_s": round(device_med, 3),
             "device_trials": [round(r, 3) for r in device_trials],
             "e2e_trials": [round(r, 3) for r in e2e_trials],
+            "e2e_spread": spread(e2e_trials),
             "baseline_clips_per_s": round(base_med, 3),
             "baseline_trials": [round(r, 3) for r in base_trials],
+            "baseline_spread": spread(base_trials),
             "baseline_clips": BASELINE_CLIPS,
+            "trials_interleaved": True,
+            "decode_scaling": decode_scaling,
             "bottleneck": bottleneck,
             **train_diag,
         },

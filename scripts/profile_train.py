@@ -1,0 +1,304 @@
+"""On-chip profile of the flagship train step: where do the milliseconds go?
+
+Captures a jax.profiler trace of the convnext_tiny+GRU train step (the hot
+loop the reference times at /root/reference/nexar_train.py:1114-1200),
+parses the chrome trace the TPU runtime emits, and rolls device op time up
+into categories (convolution / matmul / scan(GRU) / fusion / layout /
+other). Also sweeps batch size for step time, clips/s, and an MFU estimate
+from XLA's cost analysis, and times the eval forward the same way.
+
+Writes PROFILE_r03.json at the repo root. Run on the real chip:
+    python scripts/profile_train.py [--batches 16 32 64] [--trace-batch 16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import gzip
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SRC_H, SRC_W = 720, 1280
+FRAME_SIZE = 224
+CLIP_FRAMES = 50
+
+_PEAK_FLOPS = {
+    "TPU v4": 275e12, "TPU v5e": 197e12, "TPU v5 lite": 197e12,
+    "TPU v5p": 459e12, "TPU v6e": 918e12,
+}
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+# ---------------------------------------------------------------------------
+# Trace parsing (chrome trace format the TPU runtime writes next to xplane)
+# ---------------------------------------------------------------------------
+def _categorize(name: str) -> str:
+    n = name.lower()
+    if "convolution" in n or n.startswith("conv") or "%conv" in n:
+        return "convolution"
+    if n.startswith("dot") or "dot_general" in n or "einsum" in n:
+        return "matmul"
+    if n.startswith("while") or "scan" in n or "body" in n and "while" in n:
+        return "scan_gru"
+    if n.startswith("fusion") or n.startswith("loop_fusion") or (
+            "fusion" in n):
+        return "fusion"
+    if any(k in n for k in ("copy", "transpose", "bitcast", "reshape",
+                            "pad", "slice", "concatenate")):
+        return "layout_copy"
+    if any(k in n for k in ("all-reduce", "all-gather", "collective",
+                            "reduce-scatter")):
+        return "collective"
+    if "infeed" in n or "outfeed" in n or "host" in n:
+        return "host_transfer"
+    return "other"
+
+
+def parse_trace(trace_dir: str, n_steps: int) -> dict:
+    files = sorted(glob.glob(
+        os.path.join(trace_dir, "plugins/profile/*/*.trace.json.gz")))
+    if not files:
+        return {"error": f"no trace.json.gz under {trace_dir}"}
+    with gzip.open(files[-1], "rt") as f:
+        doc = json.load(f)
+    ev = doc.get("traceEvents", [])
+
+    pid_names, tid_names = {}, {}
+    for e in ev:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pid_names[e["pid"]] = e["args"].get("name", "")
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            tid_names[(e["pid"], e.get("tid"))] = e["args"].get("name", "")
+
+    device_pids = [p for p, n in pid_names.items()
+                   if "TPU" in n or "device" in n.lower()]
+    log(f"trace processes: {pid_names}")
+    log(f"device pids: {device_pids}")
+    if not device_pids:
+        return {"error": "no TPU device process in trace",
+                "processes": pid_names}
+
+    # Prefer the 'XLA Ops' lines; fall back to every duration event on the
+    # device pid.
+    op_tids = {k for k, n in tid_names.items()
+               if k[0] in device_pids and "op" in n.lower()}
+    by_op, by_cat = {}, {}
+    total_us = 0.0
+    module_us = []
+    for e in ev:
+        if e.get("ph") != "X" or e.get("pid") not in device_pids:
+            continue
+        tname = tid_names.get((e["pid"], e.get("tid")), "")
+        dur = float(e.get("dur", 0.0))
+        if "module" in tname.lower():
+            module_us.append(dur)
+            continue
+        if op_tids and (e["pid"], e.get("tid")) not in op_tids:
+            continue
+        name = e.get("name", "?")
+        by_op[name] = by_op.get(name, 0.0) + dur
+        cat = _categorize(name)
+        by_cat[cat] = by_cat.get(cat, 0.0) + dur
+        total_us += dur
+
+    top = sorted(by_op.items(), key=lambda kv: -kv[1])[:25]
+    return {
+        "n_steps_traced": n_steps,
+        "device_busy_ms_per_step": round(total_us / 1e3 / max(n_steps, 1), 3),
+        "module_exec_ms": [round(d / 1e3, 3) for d in sorted(module_us)[-n_steps:]],
+        "categories_ms_per_step": {
+            k: round(v / 1e3 / max(n_steps, 1), 3)
+            for k, v in sorted(by_cat.items(), key=lambda kv: -kv[1])
+        },
+        "categories_pct": {
+            k: round(100.0 * v / max(total_us, 1e-9), 1)
+            for k, v in sorted(by_cat.items(), key=lambda kv: -kv[1])
+        },
+        "top_ops_ms_per_step": [
+            {"op": k, "ms": round(v / 1e3 / max(n_steps, 1), 3),
+             "pct": round(100.0 * v / max(total_us, 1e-9), 1)}
+            for k, v in top
+        ],
+    }
+
+
+# ---------------------------------------------------------------------------
+def build_step(cfg, batch, train=True):
+    import dataclasses
+
+    import jax
+
+    from vision_collision_detection_tpu.ops.letterbox import letterbox_geometry
+    from vision_collision_detection_tpu.train.steps import (
+        create_train_state,
+        make_eval_step,
+        make_train_step,
+    )
+
+    T = cfg.data.num_frames // 2
+    nh, nw, _, _ = letterbox_geometry(SRC_H, SRC_W, FRAME_SIZE)
+    content = (nh + nh % 2, nw + nw % 2)
+    model, state = create_train_state(
+        cfg, jax.random.PRNGKey(0), steps_per_epoch=100,
+        sample_frames_shape=(1, T, content[0], content[1], 3),
+    )
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (batch, T, content[0], content[1], 3),
+                          dtype=np.uint8)
+    targets = rng.integers(0, cfg.model.num_classes, (batch,)).astype(np.int64)
+    mask = np.ones((batch,), np.float32)
+    key = jax.random.PRNGKey(1)
+    dev_frames = jax.device_put(frames)
+    if train:
+        step = make_train_step(model, cfg, None)
+        args = (state, dev_frames, targets, mask, key)
+    else:
+        step = make_eval_step(model, cfg, None)
+        args = (state, dev_frames, targets, mask)
+    return model, state, step, args
+
+
+def cost_flops(model, cfg, state, dev_frames, targets, mask, key, train=True):
+    import jax
+
+    from vision_collision_detection_tpu.train.steps import (
+        make_eval_step,
+        make_train_step,
+    )
+
+    try:
+        if train:
+            fn = make_train_step(model, cfg, None, donate=False)
+            lowered = jax.jit(lambda s, f, t, mk, k: fn(s, f, t, mk, k)).lower(
+                state, dev_frames, targets, mask, key)
+        else:
+            fn = make_eval_step(model, cfg, None)
+            lowered = jax.jit(lambda s, f, t, mk: fn(s, f, t, mk)).lower(
+                state, dev_frames, targets, mask)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0)) or None
+    except Exception as e:
+        log(f"cost analysis unavailable: {e}")
+        return None
+
+
+def time_step(step, args, state_pos=0, reps=10, train=True):
+    import jax
+
+    state = args[state_pos]
+    out = step(*args)
+    if train:
+        state, m = out
+        args = (state,) + args[1:]
+        jax.block_until_ready(m)
+    else:
+        jax.block_until_ready(out)
+    times = []
+    for trial in range(3):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = step(*args)
+            if train:
+                state, m = out
+                args = (state,) + args[1:]
+        jax.block_until_ready(m if train else out)
+        times.append((time.perf_counter() - t0) / reps)
+    return float(np.median(times)) * 1000.0  # ms
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", type=int, nargs="+", default=[16, 32, 64])
+    ap.add_argument("--trace-batch", type=int, default=16)
+    ap.add_argument("--trace-steps", type=int, default=3)
+    ap.add_argument("--trace-dir", default="/tmp/vcd_profile_trace")
+    ap.add_argument("--output", default=os.path.join(REPO, "PROFILE_r03.json"))
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(REPO, ".bench_cache", "xla"))
+
+    from vision_collision_detection_tpu.config import ExperimentConfig
+
+    kind = jax.devices()[0].device_kind
+    peak = next((v for k, v in _PEAK_FLOPS.items()
+                 if k.lower() in kind.lower()), None)
+    log(f"device: {kind}, bf16 peak {peak and peak / 1e12} TFLOP/s")
+
+    cfg = ExperimentConfig()
+    import dataclasses
+    cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+        cfg.model, frame_subsample=1))
+
+    out = {"device_kind": kind, "bf16_peak_flops": peak,
+           "config": "convnext_tiny+gru 25f@224 (content-box input)",
+           "sweep": []}
+
+    # ---- batch sweep: train + eval ------------------------------------
+    for b in args.batches:
+        log(f"== batch {b} ==")
+        model, state, step, sargs = build_step(cfg, b, train=True)
+        t0 = time.perf_counter()
+        ms = time_step(step, sargs, train=True)
+        log(f"train step {ms:.1f} ms ({b / ms * 1000:.1f} clips/s) "
+            f"[compile+measure {time.perf_counter() - t0:.0f}s]")
+        flops = cost_flops(model, cfg, state, sargs[1], sargs[2], sargs[3],
+                           sargs[4], train=True)
+        mfu = (flops / (ms / 1e3)) / peak if flops and peak else None
+
+        _, _, estep, eargs = build_step(cfg, b, train=False)
+        ems = time_step(estep, eargs, train=False)
+        eflops = cost_flops(model, cfg, state, eargs[1], eargs[2], eargs[3],
+                            None, train=False)
+        emfu = (eflops / (ems / 1e3)) / peak if eflops and peak else None
+        log(f"eval step {ems:.1f} ms ({b / ems * 1000:.1f} clips/s)")
+        out["sweep"].append({
+            "batch": b,
+            "train_step_ms": round(ms, 2),
+            "train_clips_per_s": round(b / ms * 1000, 1),
+            "train_flops": flops,
+            "train_mfu": round(mfu, 4) if mfu else None,
+            "eval_step_ms": round(ems, 2),
+            "eval_clips_per_s": round(b / ems * 1000, 1),
+            "eval_mfu": round(emfu, 4) if emfu else None,
+        })
+
+    # ---- trace at trace-batch -----------------------------------------
+    log(f"== trace at batch {args.trace_batch} ==")
+    model, state, step, sargs = build_step(cfg, args.trace_batch, train=True)
+    state, m = step(*sargs)
+    jax.block_until_ready(m)
+    sargs = (state,) + sargs[1:]
+    os.makedirs(args.trace_dir, exist_ok=True)
+    jax.profiler.start_trace(args.trace_dir)
+    for _ in range(args.trace_steps):
+        stt, m = step(*sargs)
+        sargs = (stt,) + sargs[1:]
+    jax.block_until_ready(m)
+    jax.profiler.stop_trace()
+    out["trace"] = parse_trace(args.trace_dir, args.trace_steps)
+    out["trace"]["trace_batch"] = args.trace_batch
+
+    with open(args.output, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()
