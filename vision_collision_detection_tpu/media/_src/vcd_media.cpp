@@ -202,14 +202,16 @@ AAFilter make_aa_filter(int in_size, int out_size) {
   return f;
 }
 
-// src [sh, sw, 3] u8 → dst [dh, dw, 3] u8; tmp is caller scratch.
+// src [sh, sw, 3] u8 (src_stride bytes/row) → dst [dh, dw, 3] u8 packed;
+// tmp is caller scratch.
 void resize_bilinear_aa(const unsigned char* src, int sh, int sw,
-                        unsigned char* dst, int dh, int dw,
+                        size_t src_stride, unsigned char* dst, int dh, int dw,
                         const AAFilter& fx, const AAFilter& fy,
                         std::vector<float>& tmp) {
+  (void)sw;
   tmp.resize((size_t)sh * dw * 3);
   for (int y = 0; y < sh; y++) {  // horizontal pass
-    const unsigned char* srow = src + (size_t)y * sw * 3;
+    const unsigned char* srow = src + (size_t)y * src_stride;
     float* trow = tmp.data() + (size_t)y * dw * 3;
     for (int x = 0; x < dw; x++) {
       const float* w = &fx.weights[(size_t)x * fx.ksize];
@@ -307,7 +309,11 @@ long vcd_decode(const char* path, const long* indices, long n_indices,
   }
 
   const size_t frame_bytes = (size_t)out_h * out_w * 3;
-  std::vector<unsigned char> native_rgb((size_t)src_h * src_w * 3);
+  // 64-byte-aligned stride + tail slack: swscale's SIMD writers can run a
+  // register width past an exactly-sized unpadded row (the standard
+  // av_image_alloc alignment practice).
+  const size_t nat_stride = ((size_t)src_w * 3 + 63) / 64 * 64;
+  std::vector<unsigned char> native_rgb(nat_stride * src_h + 64);
   std::vector<unsigned char> scaled(
       needs_resize && letterbox ? (size_t)sc_h * sc_w * 3 : 0);
   std::vector<float> aa_tmp;
@@ -335,25 +341,34 @@ long vcd_decode(const char* path, const long* indices, long n_indices,
   auto convert_and_store = [&](AVFrame* f, long out_slot) {
     unsigned char* dst_frame = out + (size_t)out_slot * frame_bytes;
     uint8_t* nat_data[1] = {native_rgb.data()};
-    int nat_linesize[1] = {src_w * 3};
+    int nat_linesize[1] = {(int)nat_stride};
     sws_scale(sws, f->data, f->linesize, 0, src_h, nat_data, nat_linesize);
     if (letterbox) {
       std::memset(dst_frame, 0, frame_bytes);
-      const unsigned char* content = native_rgb.data();
       if (needs_resize) {
-        resize_bilinear_aa(native_rgb.data(), src_h, src_w, scaled.data(),
-                           sc_h, sc_w, fx, fy, aa_tmp);
-        content = scaled.data();
-      }
-      for (int row = 0; row < sc_h; row++) {
-        std::memcpy(dst_frame + ((size_t)(pad_h + row) * out_w + pad_w) * 3,
-                    content + (size_t)row * sc_w * 3, (size_t)sc_w * 3);
+        resize_bilinear_aa(native_rgb.data(), src_h, src_w, nat_stride,
+                           scaled.data(), sc_h, sc_w, fx, fy, aa_tmp);
+        for (int row = 0; row < sc_h; row++) {
+          std::memcpy(dst_frame + ((size_t)(pad_h + row) * out_w + pad_w) * 3,
+                      scaled.data() + (size_t)row * sc_w * 3,
+                      (size_t)sc_w * 3);
+        }
+      } else {
+        for (int row = 0; row < sc_h; row++) {
+          std::memcpy(dst_frame + ((size_t)(pad_h + row) * out_w + pad_w) * 3,
+                      native_rgb.data() + (size_t)row * nat_stride,
+                      (size_t)sc_w * 3);
+        }
       }
     } else if (needs_resize) {
-      resize_bilinear_aa(native_rgb.data(), src_h, src_w, dst_frame, sc_h,
-                         sc_w, fx, fy, aa_tmp);
+      resize_bilinear_aa(native_rgb.data(), src_h, src_w, nat_stride,
+                         dst_frame, sc_h, sc_w, fx, fy, aa_tmp);
     } else {
-      std::memcpy(dst_frame, native_rgb.data(), frame_bytes);
+      for (int row = 0; row < out_h; row++) {
+        std::memcpy(dst_frame + (size_t)row * out_w * 3,
+                    native_rgb.data() + (size_t)row * nat_stride,
+                    (size_t)out_w * 3);
+      }
     }
   };
 
