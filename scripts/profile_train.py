@@ -253,31 +253,42 @@ def main():
     # ---- batch sweep: train + eval ------------------------------------
     for b in args.batches:
         log(f"== batch {b} ==")
-        model, state, step, sargs = build_step(cfg, b, train=True)
-        t0 = time.perf_counter()
-        ms = time_step(step, sargs, train=True)
-        log(f"train step {ms:.1f} ms ({b / ms * 1000:.1f} clips/s) "
-            f"[compile+measure {time.perf_counter() - t0:.0f}s]")
-        flops = cost_flops(model, cfg, state, sargs[1], sargs[2], sargs[3],
-                           sargs[4], train=True)
-        mfu = (flops / (ms / 1e3)) / peak if flops and peak else None
-
-        _, _, estep, eargs = build_step(cfg, b, train=False)
-        ems = time_step(estep, eargs, train=False)
-        eflops = cost_flops(model, cfg, state, eargs[1], eargs[2], eargs[3],
-                            None, train=False)
-        emfu = (eflops / (ems / 1e3)) / peak if eflops and peak else None
-        log(f"eval step {ems:.1f} ms ({b / ems * 1000:.1f} clips/s)")
-        out["sweep"].append({
-            "batch": b,
-            "train_step_ms": round(ms, 2),
-            "train_clips_per_s": round(b / ms * 1000, 1),
-            "train_flops": flops,
-            "train_mfu": round(mfu, 4) if mfu else None,
-            "eval_step_ms": round(ems, 2),
-            "eval_clips_per_s": round(b / ems * 1000, 1),
-            "eval_mfu": round(emfu, 4) if emfu else None,
-        })
+        row = {"batch": b}
+        try:
+            model, state, step, sargs = build_step(cfg, b, train=True)
+            t0 = time.perf_counter()
+            ms = time_step(step, sargs, train=True)
+            log(f"train step {ms:.1f} ms ({b / ms * 1000:.1f} clips/s) "
+                f"[compile+measure {time.perf_counter() - t0:.0f}s]")
+            flops = cost_flops(model, cfg, state, sargs[1], sargs[2],
+                               sargs[3], sargs[4], train=True)
+            mfu = (flops / (ms / 1e3)) / peak if flops and peak else None
+            row.update({
+                "train_step_ms": round(ms, 2),
+                "train_clips_per_s": round(b / ms * 1000, 1),
+                "train_flops": flops,
+                "train_mfu": round(mfu, 4) if mfu else None,
+            })
+        except Exception as e:
+            # OOM at large batch is a legitimate sweep outcome
+            row["train_error"] = str(e)[:300]
+            log(f"train at batch {b} failed: {str(e)[:200]}")
+        try:
+            model2, state2, estep, eargs = build_step(cfg, b, train=False)
+            ems = time_step(estep, eargs, train=False)
+            eflops = cost_flops(model2, cfg, state2, eargs[1], eargs[2],
+                                eargs[3], None, train=False)
+            emfu = (eflops / (ems / 1e3)) / peak if eflops and peak else None
+            log(f"eval step {ems:.1f} ms ({b / ems * 1000:.1f} clips/s)")
+            row.update({
+                "eval_step_ms": round(ems, 2),
+                "eval_clips_per_s": round(b / ems * 1000, 1),
+                "eval_mfu": round(emfu, 4) if emfu else None,
+            })
+        except Exception as e:
+            row["eval_error"] = str(e)[:300]
+            log(f"eval at batch {b} failed: {str(e)[:200]}")
+        out["sweep"].append(row)
 
     # ---- trace at trace-batch -----------------------------------------
     log(f"== trace at batch {args.trace_batch} ==")

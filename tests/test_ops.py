@@ -116,6 +116,45 @@ class TestAffine:
             np.asarray(out)[0], np.asarray(x)[0, ::-1, ::-1], atol=1e-4
         )
 
+    def test_separable_identity_exact(self):
+        from vision_collision_detection_tpu.ops.affine import (
+            affine_warp_clip_separable,
+        )
+
+        x = jax.random.uniform(jax.random.PRNGKey(3), (2, 16, 12, 3))
+        out = affine_warp_clip_separable(x, 0.0, jnp.zeros(2), 1.0, 0.0)
+        np.testing.assert_allclose(out, x, atol=5e-3)  # bf16 operand quantum
+
+    def test_separable_matches_gather_axis_aligned(self):
+        """Scale+translate (no rotation/shear): the two-pass decomposition
+        is mathematically identical to the direct 2-D bilinear warp."""
+        from vision_collision_detection_tpu.ops.affine import (
+            affine_warp_clip_separable,
+        )
+
+        x = jax.random.uniform(jax.random.PRNGKey(4), (1, 20, 24, 3))
+        args = (0.0, jnp.array([1.7, -2.3]), 1.08, 0.0)
+        ref = affine_warp_clip(x, *args)
+        out = affine_warp_clip_separable(x, *args)
+        np.testing.assert_allclose(out, ref, atol=2e-2)  # bf16 quantization
+
+    def test_separable_close_to_gather_on_rotation(self):
+        """Rotation/shear: the two-pass filter samples along the slanted
+        line — small differences on smooth content, same geometry."""
+        from vision_collision_detection_tpu.ops.affine import (
+            affine_warp_clip_separable,
+        )
+
+        h = w = 32
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        smooth = np.exp(-(((yy - 15) / 9) ** 2 + ((xx - 17) / 9) ** 2))
+        x = jnp.asarray(np.tile(smooth[None, :, :, None], (2, 1, 1, 3)))
+        args = (8.0, jnp.array([1.0, -1.0]), 1.05, 2.0)
+        ref = np.asarray(affine_warp_clip(x, *args))
+        out = np.asarray(affine_warp_clip_separable(x, *args))
+        assert np.abs(out - ref).max() < 0.02
+        assert np.abs(out - ref).mean() < 2e-3
+
     def test_matches_scipy(self):
         from scipy.ndimage import affine_transform as sp_affine
 

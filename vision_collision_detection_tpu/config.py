@@ -97,6 +97,10 @@ class AugmentConfig:
     scale_range: tuple = (0.95, 1.1)
     shear_range: tuple = (-2.0, 2.0)  # degrees (x-shear)
     translate_range: tuple = (0.0, 0.07)  # fraction of W/H; sign randomized
+    # 'separable': two-pass matmul warp (TPU-fast; the 4-tap gather warp
+    # profiled at 41% of the whole train step). 'gather': direct 2-D
+    # bilinear, torchvision-exact filter.
+    affine_mode: str = "separable"
     # Special effects
     grayscale_prob: float = 0.02
     noise_level: float = 0.0  # gaussian std; 0 disables (unconditional if >0)

@@ -24,7 +24,10 @@ import jax.numpy as jnp
 
 from vision_collision_detection_tpu.config import AugmentConfig
 from vision_collision_detection_tpu.ops import color as C
-from vision_collision_detection_tpu.ops.affine import affine_warp_clip
+from vision_collision_detection_tpu.ops.affine import (
+    affine_warp_clip,
+    affine_warp_clip_separable,
+)
 
 
 def _uniform(key, lo, hi):
@@ -150,8 +153,11 @@ def augment_clip(frames: jax.Array, params: Dict, cfg: AugmentConfig) -> jax.Arr
     x = C.adjust_saturation(x, params["saturation"])
     x = C.adjust_hue(x, params["hue"])
 
-    # affine (reference :229-237)
-    x = affine_warp_clip(
+    # affine (reference :229-237); separable matmul warp by default — the
+    # gather warp was 41% of the profiled train step (PROFILE_r03.json)
+    warp = (affine_warp_clip_separable if cfg.affine_mode == "separable"
+            else affine_warp_clip)
+    x = warp(
         x, params["rotation"], params["translate"], params["scale"],
         params["shear"],
     )
