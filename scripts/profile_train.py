@@ -65,6 +65,20 @@ def _categorize(name: str) -> str:
     return "other"
 
 
+def _module_of(args: dict, name: str) -> str:
+    """Bucket a device op into a pipeline module from its source/tf_op."""
+    src = args.get("source", "")
+    top = args.get("tf_op", "")
+    if any(m in src for m in ("affine.py", "augment.py", "color.py",
+                              "letterbox", "preprocess", "pallas_ops")):
+        return "preprocess_augment"
+    if "/backbone/" in top:
+        return ("backbone_bwd" if "transpose(jvp" in top else "backbone_fwd")
+    if "/temporal/" in top or "while" in name.lower():
+        return "temporal_head"
+    return "other"
+
+
 def parse_trace(trace_dir: str, n_steps: int) -> dict:
     files = sorted(glob.glob(
         os.path.join(trace_dir, "plugins/profile/*/*.trace.json.gz")))
@@ -74,62 +88,44 @@ def parse_trace(trace_dir: str, n_steps: int) -> dict:
         doc = json.load(f)
     ev = doc.get("traceEvents", [])
 
-    pid_names, tid_names = {}, {}
+    pid_names = {}
     for e in ev:
         if e.get("ph") == "M" and e.get("name") == "process_name":
             pid_names[e["pid"]] = e["args"].get("name", "")
-        if e.get("ph") == "M" and e.get("name") == "thread_name":
-            tid_names[(e["pid"], e.get("tid"))] = e["args"].get("name", "")
-
     device_pids = [p for p, n in pid_names.items()
                    if "TPU" in n or "device" in n.lower()]
     log(f"trace processes: {pid_names}")
-    log(f"device pids: {device_pids}")
     if not device_pids:
         return {"error": "no TPU device process in trace",
                 "processes": pid_names}
 
-    # Prefer the 'XLA Ops' lines; fall back to every duration event on the
-    # device pid.
-    op_tids = {k for k, n in tid_names.items()
-               if k[0] in device_pids and "op" in n.lower()}
-    by_op, by_cat = {}, {}
+    by_mod, by_cat, by_key = {}, {}, {}
     total_us = 0.0
-    module_us = []
     for e in ev:
         if e.get("ph") != "X" or e.get("pid") not in device_pids:
             continue
-        tname = tid_names.get((e["pid"], e.get("tid")), "")
+        a = e.get("args", {})
+        if "hlo_category" not in a:  # only real device op events
+            continue
         dur = float(e.get("dur", 0.0))
-        if "module" in tname.lower():
-            module_us.append(dur)
-            continue
-        if op_tids and (e["pid"], e.get("tid")) not in op_tids:
-            continue
-        name = e.get("name", "?")
-        by_op[name] = by_op.get(name, 0.0) + dur
-        cat = _categorize(name)
-        by_cat[cat] = by_cat.get(cat, 0.0) + dur
         total_us += dur
+        cat = a["hlo_category"]
+        mod = _module_of(a, e.get("name", ""))
+        by_cat[cat] = by_cat.get(cat, 0.0) + dur
+        by_mod[mod] = by_mod.get(mod, 0.0) + dur
+        key = f"{mod} | {cat} | {a.get('source', '?').split('/')[-1]}"
+        by_key[key] = by_key.get(key, 0.0) + dur
 
-    top = sorted(by_op.items(), key=lambda kv: -kv[1])[:25]
+    def table(d, n=None):
+        items = sorted(d.items(), key=lambda kv: -kv[1])[:n]
+        return {k: round(v / 1e3 / max(n_steps, 1), 2) for k, v in items}
+
     return {
         "n_steps_traced": n_steps,
         "device_busy_ms_per_step": round(total_us / 1e3 / max(n_steps, 1), 3),
-        "module_exec_ms": [round(d / 1e3, 3) for d in sorted(module_us)[-n_steps:]],
-        "categories_ms_per_step": {
-            k: round(v / 1e3 / max(n_steps, 1), 3)
-            for k, v in sorted(by_cat.items(), key=lambda kv: -kv[1])
-        },
-        "categories_pct": {
-            k: round(100.0 * v / max(total_us, 1e-9), 1)
-            for k, v in sorted(by_cat.items(), key=lambda kv: -kv[1])
-        },
-        "top_ops_ms_per_step": [
-            {"op": k, "ms": round(v / 1e3 / max(n_steps, 1), 3),
-             "pct": round(100.0 * v / max(total_us, 1e-9), 1)}
-            for k, v in top
-        ],
+        "by_module_ms_per_step": table(by_mod),
+        "by_hlo_category_ms_per_step": table(by_cat),
+        "top_module_category_source_ms": table(by_key, 20),
     }
 
 
@@ -226,7 +222,30 @@ def main():
     ap.add_argument("--trace-steps", type=int, default=3)
     ap.add_argument("--trace-dir", default="/tmp/vcd_profile_trace")
     ap.add_argument("--output", default=os.path.join(REPO, "PROFILE_r03.json"))
+    ap.add_argument("--gelu", choices=["config", "approx", "exact"],
+                    default="config",
+                    help="override cfg.model.gelu_approximate for ablations")
+    ap.add_argument("--dwconv", choices=["config", "pallas", "lax"],
+                    default="config",
+                    help="override the ConvNeXt depthwise-conv path")
+    ap.add_argument("--no-trace", action="store_true")
+    ap.add_argument("--parse-only", action="store_true",
+                    help="re-parse an existing trace dir into --output "
+                         "(merging with an existing JSON if present)")
     args = ap.parse_args()
+
+    if args.parse_only:
+        out = {}
+        if os.path.exists(args.output):
+            with open(args.output) as f:
+                out = json.load(f)
+        trace = parse_trace(args.trace_dir, args.trace_steps)
+        trace["trace_batch"] = args.trace_batch
+        out["trace"] = trace
+        with open(args.output, "w") as f:
+            json.dump(out, f, indent=2)
+        print(json.dumps(trace, indent=2))
+        return
 
     import jax
 
@@ -243,8 +262,16 @@ def main():
 
     cfg = ExperimentConfig()
     import dataclasses
+    model_kw = {"frame_subsample": 1}
+    if args.gelu != "config":
+        model_kw["gelu_approximate"] = args.gelu == "approx"
     cfg = dataclasses.replace(cfg, model=dataclasses.replace(
-        cfg.model, frame_subsample=1))
+        cfg.model, **model_kw))
+    if args.dwconv != "config":
+        import vision_collision_detection_tpu.models.backbones.convnext as cn
+        cn.ConvNeXt.dwconv_pallas = args.dwconv == "pallas"
+    log(f"gelu_approximate={cfg.model.gelu_approximate} "
+        f"platform={jax.devices()[0].platform}")
 
     out = {"device_kind": kind, "bf16_peak_flops": peak,
            "config": "convnext_tiny+gru 25f@224 (content-box input)",
@@ -291,6 +318,11 @@ def main():
         out["sweep"].append(row)
 
     # ---- trace at trace-batch -----------------------------------------
+    if args.no_trace:
+        with open(args.output, "w") as f:
+            json.dump(out, f, indent=2)
+        print(json.dumps(out, indent=2))
+        return
     log(f"== trace at batch {args.trace_batch} ==")
     model, state, step, sargs = build_step(cfg, args.trace_batch, train=True)
     state, m = step(*sargs)

@@ -146,6 +146,14 @@ class ModelConfig:
     frame_subsample: int = 2  # take every k-th frame when T > subsample_threshold
     subsample_threshold: int = 10  # (nexar_arch.py:412-415: ::2 when T>10)
     dtype: str = "bfloat16"  # compute dtype; params stay float32
+    # tanh-approx GELU in the convnext blocks. Profiled on-chip
+    # (PROFILE_r03.json): exact-erf GELU cost 121 ms of a 403 ms train step
+    # and 49 ms of a 145 ms eval step at B=16 — the erf chain dominates the
+    # fused pointwise-conv epilogues. tanh-GELU differs from erf-GELU by
+    # ≤3e-3 absolute (irrelevant for training / fine-tuning); the
+    # checkpoint-import parity model (ReferenceVideoClassifier) always uses
+    # exact erf regardless of this flag.
+    gelu_approximate: bool = True
     # ViViT-specific
     patch_size: int = 14
     image_size: int = 224

@@ -16,23 +16,54 @@ import jax
 import jax.numpy as jnp
 
 from vision_collision_detection_tpu.models.backbones import BACKBONE_REGISTRY
+from vision_collision_detection_tpu.ops.dwconv_pallas import dwconv7x7, on_tpu
+
+
+class DwConv7x7(nn.Module):
+    """Depthwise 7x7 with the same param tree as nn.Conv(name='dwconv')
+    ({kernel [7,7,1,C], bias [C]}) but computed by the Pallas VPU kernel
+    (ops/dwconv_pallas.py) — XLA's grouped-conv lowering ran at ~1.8 TFLOP/s
+    on this chip (PROFILE_r03.json)."""
+
+    dim: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (7, 7, 1, self.dim))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return dwconv7x7(x.astype(self.dtype),
+                         kernel[:, :, 0, :].astype(self.dtype),
+                         bias.astype(self.dtype))
 
 
 class ConvNeXtBlock(nn.Module):
     dim: int
     layer_scale_init: float = 1e-6
     drop_path_rate: float = 0.0
+    # tanh-approx GELU: cheaper fused elementwise on the VPU; exact erf is
+    # kept as default for torchvision-checkpoint numerical parity
+    gelu_approximate: bool = False
+    # None = auto (pallas on TPU, lax elsewhere); explicit bool overrides
+    dwconv_pallas: Any = None
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         shortcut = x
         # depthwise 7x7
-        y = nn.Conv(self.dim, (7, 7), padding=3, feature_group_count=self.dim,
-                    dtype=self.dtype, name="dwconv")(x)
+        use_pallas = (self.dwconv_pallas if self.dwconv_pallas is not None
+                      else on_tpu())
+        if use_pallas:
+            y = DwConv7x7(dim=self.dim, dtype=self.dtype, name="dwconv")(x)
+        else:
+            y = nn.Conv(self.dim, (7, 7), padding=3,
+                        feature_group_count=self.dim,
+                        dtype=self.dtype, name="dwconv")(x)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(y)
         y = nn.Dense(4 * self.dim, dtype=self.dtype, name="pwconv1")(y)
-        y = nn.gelu(y, approximate=False)
+        y = nn.gelu(y, approximate=self.gelu_approximate)
         y = nn.Dense(self.dim, dtype=self.dtype, name="pwconv2")(y)
         gamma = self.param(
             "gamma", nn.initializers.constant(self.layer_scale_init), (self.dim,)
@@ -57,6 +88,8 @@ class ConvNeXt(nn.Module):
     # (/root/reference/nexar_arch.py:324-328). apply_head_norm=False reproduces
     # that feature path for imported checkpoints.
     apply_head_norm: bool = True
+    gelu_approximate: bool = False
+    dwconv_pallas: Any = None
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -79,6 +112,8 @@ class ConvNeXt(nn.Module):
                 dp = self.drop_path_rate * block_idx / max(total_blocks - 1, 1)
                 x = ConvNeXtBlock(
                     dim=self.dims[stage], drop_path_rate=dp, dtype=self.dtype,
+                    gelu_approximate=self.gelu_approximate,
+                    dwconv_pallas=self.dwconv_pallas,
                     name=f"stage{stage}_block{blk}",
                 )(x, train=train)
                 block_idx += 1

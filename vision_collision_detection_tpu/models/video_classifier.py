@@ -54,6 +54,7 @@ class VideoClassifierModel(nn.Module):
     sensor_hidden_dim: int = 64
     frame_subsample: int = 2
     subsample_threshold: int = 10
+    gelu_approximate: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -66,7 +67,10 @@ class VideoClassifierModel(nn.Module):
 
         # [B,T,H,W,C] → [B·T,H,W,C]: one big per-frame CNN batch.
         flat = x.reshape((B * T,) + x.shape[2:])
-        net = build_backbone(self.backbone, dtype=self.dtype, name="backbone")
+        kw = ({"gelu_approximate": self.gelu_approximate}
+              if self.backbone.startswith("convnext") else {})
+        net = build_backbone(self.backbone, dtype=self.dtype, name="backbone",
+                             **kw)
         feats = net(flat, train=train)  # [B·T, D] fp32
         D = feats.shape[-1]
         feats = feats.reshape(B, T, D)
@@ -125,5 +129,6 @@ def build_model(cfg: ModelConfig) -> nn.Module:
         sensor_hidden_dim=cfg.sensor_hidden_dim,
         frame_subsample=cfg.frame_subsample,
         subsample_threshold=cfg.subsample_threshold,
+        gelu_approximate=cfg.gelu_approximate,
         dtype=jnp.dtype(cfg.dtype),
     )
