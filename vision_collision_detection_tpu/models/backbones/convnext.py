@@ -16,7 +16,10 @@ import jax
 import jax.numpy as jnp
 
 from vision_collision_detection_tpu.models.backbones import BACKBONE_REGISTRY
-from vision_collision_detection_tpu.ops.dwconv_pallas import dwconv7x7, on_tpu
+from vision_collision_detection_tpu.ops.dwconv_pallas import (
+    PALLAS_DWCONV_DEFAULT,
+    dwconv7x7,
+)
 
 
 class DwConv7x7(nn.Module):
@@ -45,7 +48,8 @@ class ConvNeXtBlock(nn.Module):
     # tanh-approx GELU: cheaper fused elementwise on the VPU; exact erf is
     # kept as default for torchvision-checkpoint numerical parity
     gelu_approximate: bool = False
-    # None = auto (pallas on TPU, lax elsewhere); explicit bool overrides
+    # None = module default (XLA path; the pallas kernel measured slower —
+    # see ops/dwconv_pallas.py); explicit bool overrides for experiments
     dwconv_pallas: Any = None
     dtype: Any = jnp.bfloat16
 
@@ -54,7 +58,7 @@ class ConvNeXtBlock(nn.Module):
         shortcut = x
         # depthwise 7x7
         use_pallas = (self.dwconv_pallas if self.dwconv_pallas is not None
-                      else on_tpu())
+                      else PALLAS_DWCONV_DEFAULT)
         if use_pallas:
             y = DwConv7x7(dim=self.dim, dtype=self.dtype, name="dwconv")(x)
         else:

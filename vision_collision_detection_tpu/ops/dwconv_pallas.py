@@ -40,6 +40,17 @@ def on_tpu() -> bool:
         return False
 
 
+# Measured on chip (v5 lite, B=16 flagship eval): this kernel ran SLOWER
+# than XLA's grouped-conv lowering (159.6 ms vs 95.7 ms eval step) and the
+# custom-VJP backward failed to compile through the remote toolchain.
+# Depthwise 7x7 is VPU-FLOP-bound (~98 flops/element); XLA's ~1.8 TFLOP/s
+# is already near the VPU ceiling, so there is no MXU win to be had and
+# the shifted unaligned reads cost more than XLA's schedule. Kept as an
+# opt-in experiment (ConvNeXtBlock(dwconv_pallas=True)); the default stays
+# on the XLA path everywhere.
+PALLAS_DWCONV_DEFAULT = False
+
+
 def _interpret() -> bool:
     return not on_tpu()
 
