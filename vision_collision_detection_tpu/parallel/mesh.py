@@ -48,6 +48,23 @@ def maybe_initialize_distributed() -> None:
     except RuntimeError as e:  # already initialized (idempotent no-op)
         if "already" not in str(e).lower():
             raise
+    # Establish the cross-process collective context NOW, while every
+    # process is at the same point. The backend's context setup (Gloo on
+    # CPU) has a short internal rendezvous deadline (~30 s); if the first
+    # collective instead fires deep inside training, per-process
+    # compile/decode skew can exceed it and kill the job — the same failure
+    # mode the reference's NCCL_BLOCKING_WAIT knobs paper over
+    # (/root/reference/distributed_video_classifier.py:232-234). A one-
+    # element allgather here is the NCCL-communicator-warmup equivalent.
+    try:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.process_allgather(np.zeros((1,), np.float32))
+    except Exception as e:  # pragma: no cover - never fatal
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "collective warm-up failed (continuing): %s", e)
 
 
 def create_mesh(cfg: Optional[MeshConfig] = None,
