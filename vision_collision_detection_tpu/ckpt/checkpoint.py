@@ -52,22 +52,43 @@ class CheckpointStore:
         return os.path.isdir(os.path.join(self.path(role), ARRAYS_DIR))
 
     # ---- save/load ----
+    @staticmethod
+    def _sync(tag: str) -> None:
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(tag)
+
     def save(self, role: str, *, arrays: dict, meta: dict) -> str:
         """arrays: pytree of jax/np arrays; meta: JSON-serializable dict
-        (includes the ExperimentConfig hyperparams contract)."""
+        (includes the ExperimentConfig hyperparams contract).
+
+        Multi-host contract: EVERY process must call this (orbax's save
+        runs internal cross-process barriers — a main-only call deadlocks
+        the job against the other processes' next collective, which is how
+        this bug originally surfaced as a 30-minute Gloo timeout in the
+        2-process test). Filesystem mutations happen on process 0 only;
+        orbax coordinates its own writes.
+        """
+        main = jax.process_index() == 0
         target = self.path(role)
         tmp = target + ".tmp"
-        if os.path.isdir(tmp):
-            shutil.rmtree(tmp)
-        os.makedirs(tmp, exist_ok=True)
+        if main:
+            if os.path.isdir(tmp):
+                shutil.rmtree(tmp)
+            os.makedirs(tmp, exist_ok=True)
+        self._sync(f"ckpt-pre-{role}")
         self._ckptr.save(
             os.path.join(tmp, ARRAYS_DIR), _to_restorable(arrays), force=True
         )
-        with open(os.path.join(tmp, META_FILE), "w") as f:
-            json.dump(meta, f, indent=2, default=_json_default)
-        if os.path.isdir(target):
-            shutil.rmtree(target)
-        os.replace(tmp, target)
+        if main:
+            with open(os.path.join(tmp, META_FILE), "w") as f:
+                json.dump(meta, f, indent=2, default=_json_default)
+            if os.path.isdir(target):
+                shutil.rmtree(target)
+            os.replace(tmp, target)
+        # all processes observe the completed swap before proceeding
+        self._sync(f"ckpt-post-{role}")
         return target
 
     def load(self, role: str) -> tuple:
@@ -79,6 +100,8 @@ class CheckpointStore:
         return path
 
     def _prune_epochs(self):
+        if jax.process_index() != 0:
+            return
         epochs = []
         for name in os.listdir(self.run_dir):
             if name.startswith("epoch_") and not name.endswith(".tmp"):

@@ -260,8 +260,10 @@ class Trainer:
         }
 
     def _save(self, role: str, epoch: int) -> None:
-        if not self.strategy.is_main:
-            return
+        # EVERY process participates: orbax save has internal cross-process
+        # barriers (main-only calls deadlock multi-host jobs); the store
+        # keeps filesystem writes on process 0. The save decision is driven
+        # by gathered metrics, identical on every process.
         self.store.save(role, arrays=self._arrays(), meta=self._meta(epoch))
 
     def _restore_arrays(self, arrays: dict) -> None:
@@ -503,10 +505,9 @@ class Trainer:
             if tc.checkpoint_every_epochs and (
                 epoch % tc.checkpoint_every_epochs == 0
             ):
-                if self.strategy.is_main:
-                    self.store.save_epoch(
-                        epoch, arrays=self._arrays(), meta=self._meta(epoch)
-                    )
+                self.store.save_epoch(
+                    epoch, arrays=self._arrays(), meta=self._meta(epoch)
+                )
             self._save("last", epoch)
 
             if patience_left <= 0:
