@@ -87,7 +87,10 @@ strategy = DataParallelStrategy()
 assert strategy.num_data_shards == 2
 assert strategy.local_device_count == 2
 
-run_dir = os.path.join(os.environ["VCD_OUT"], f"run_p{jax.process_index()}")
+# ONE shared run dir, as in real multi-host deployments (NFS/GCS): orbax
+# checkpointing is a collective — process 0 writes, everyone participates
+# in barriers, and exists()/load decisions must agree on every process.
+run_dir = os.path.join(os.environ["VCD_OUT"], "run_shared")
 tr = Trainer(cfg, train, val, test, run_dir=run_dir, strategy=strategy)
 assert tr.train_loader.batch_size == 2  # per-host batch
 tr.train()
