@@ -76,6 +76,7 @@ class ClipLoader:
         num_shards: int = 1,
         shard_index: int = 0,
         pad_partial: bool = False,
+        mask_wrap: bool = False,
     ):
         """pad_partial: fill the trailing partial batch with masked dummy
         samples so every batch has identical shape — required when batches are
@@ -85,6 +86,11 @@ class ClipLoader:
         if num_shards < 1 or not (0 <= shard_index < num_shards):
             raise ValueError("bad shard spec")
         self.pad_partial = pad_partial
+        # mask_wrap: flag the shard-equalizing wrap duplicates as pads so
+        # evaluation masks + trims them (gathered metrics must not double-
+        # count; the reference gen-3b trims by true sizes). Training keeps
+        # them unmasked — DistributedSampler's duplicates ARE trained on.
+        self.mask_wrap = mask_wrap
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -102,28 +108,40 @@ class ClipLoader:
         self.epoch = epoch
 
     def _epoch_indices(self) -> np.ndarray:
+        return self._indices_and_wrap()[0]
+
+    def _indices_and_wrap(self):
+        """→ (indices, wrap_flags): wrap rows are the DistributedSampler-
+        style duplicates appended so every shard gets an equal count. They
+        are flagged so evaluation can mask and trim them — otherwise
+        gathered metrics double-count the wrapped samples (the reference
+        gen-3b trims by true sizes, nexar_complete_with_validation.py:
+        888-898; flag+trim is the static-shape equivalent)."""
         n = len(self.dataset)
         idx = np.arange(n)
         if self.shuffle:
             rng = np.random.default_rng((self.seed, self.epoch))
             idx = rng.permutation(idx)
+        wrap = np.zeros(len(idx), bool)
         if self.num_shards > 1:
-            # wrap-pad so every shard gets equal count (DistributedSampler)
             target = -(-n // self.num_shards) * self.num_shards
             if target > n:
                 idx = np.concatenate([idx, idx[: target - n]])
+                wrap = np.concatenate(
+                    [wrap, np.ones(target - n, bool)])
             idx = idx[self.shard_index :: self.num_shards]
-        return idx
+            wrap = wrap[self.shard_index :: self.num_shards]
+        return idx, wrap
 
     def _batches(self):
-        idx = self._epoch_indices()
+        idx, wrap = self._indices_and_wrap()
         n = len(idx)
         batches = []
         for i in range(0, n, self.batch_size):
             b = idx[i : i + self.batch_size]
             if len(b) < self.batch_size and self.drop_last:
                 continue
-            batches.append(b)
+            batches.append((b, wrap[i : i + self.batch_size]))
         return batches
 
     def __len__(self) -> int:
@@ -149,7 +167,7 @@ class ClipLoader:
         def fetch(b: int):
             # num_threads=0 → the C pool sizes itself to the hardware
             # (num_workers Python threads would oversubscribe small hosts)
-            return self.dataset.get_batch(batches[b], self.epoch,
+            return self.dataset.get_batch(batches[b][0], self.epoch,
                                           num_threads=0)
 
         futures: dict = {}
@@ -162,6 +180,9 @@ class ClipLoader:
                     futures[b + depth] = ex.submit(fetch, b + depth)
                 batch = futures.pop(b).result()
                 n = len(batch["id"])
+                wrap = batches[b][1]
+                if self.mask_wrap and wrap.any():
+                    batch["pad"] = np.asarray(batch["pad"], bool) | wrap[:n]
                 if self.pad_partial and n < self.batch_size:
                     batch = _pad_collated(batch, self.batch_size)
                 yield batch
@@ -176,8 +197,9 @@ class ClipLoader:
         futures: dict = {}
 
         def submit(b: int):
-            for i in batches[b]:
-                futures[(b, int(i))] = ex.submit(self.dataset.get, int(i), self.epoch)
+            for k, i in enumerate(batches[b][0]):
+                futures[(b, k)] = ex.submit(self.dataset.get, int(i),
+                                            self.epoch)
 
         try:
             depth = min(self.prefetch_batches + 1, len(batches))
@@ -186,7 +208,12 @@ class ClipLoader:
             for b in range(len(batches)):
                 if b + depth < len(batches):
                     submit(b + depth)
-                samples = [futures.pop((b, int(i))).result() for i in batches[b]]
+                samples = [futures.pop((b, k)).result()
+                           for k in range(len(batches[b][0]))]
+                if self.mask_wrap:
+                    for k, w in enumerate(batches[b][1]):
+                        if w:  # shard-equalizing duplicate → masked pad
+                            samples[k] = dict(samples[k], pad=True)
                 if self.pad_partial and len(samples) < self.batch_size:
                     samples += [_pad_sample(samples[0])] * (
                         self.batch_size - len(samples)

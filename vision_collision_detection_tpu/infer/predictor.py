@@ -90,6 +90,50 @@ class CollisionPredictor:
     def _forward(self):
         return self._make_forward(False)
 
+    def _make_sliding_forward(self):
+        """jitted (unique_frames_u8 [U,S,S,3], win_idx [W,T]) → probs [W,C]:
+        windows are gathered on-device from the unique-frame pool."""
+        if "sliding" in self._forward_cache:
+            return self._forward_cache["sliding"]
+        import dataclasses  # noqa: F401
+
+        mcfg = self.cfg.model
+        model = (self._model_override if self._model_override is not None
+                 else build_model(mcfg))
+        aug = self.cfg.augment
+        S = self.cfg.data.frame_size
+        dtype = jnp.dtype(mcfg.dtype)
+
+        @jax.jit
+        def fn(unique_u8, idx):
+            windows = jnp.take(unique_u8, idx, axis=0)  # [W, T, S, S, 3]
+            x = eval_preprocess(windows, aug, S, dtype)
+            logits = model.apply(
+                {"params": self.params, "batch_stats": self.batch_stats},
+                x, train=False,
+            )
+            return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+        self._forward_cache["sliding"] = fn
+        return fn
+
+    def _sliding_forward(self, unique_u8: np.ndarray, win_idx: np.ndarray):
+        """Pad U and W to buckets so different videos reuse the compile."""
+        fn = self._make_sliding_forward()
+        u, w = unique_u8.shape[0], win_idx.shape[0]
+        u_pad = -(-u // 64) * 64
+        w_pad = -(-w // 8) * 8
+        if u_pad != u:
+            unique_u8 = np.concatenate([
+                unique_u8,
+                np.zeros((u_pad - u,) + unique_u8.shape[1:], np.uint8),
+            ])
+        if w_pad != w:
+            win_idx = np.concatenate([
+                win_idx, np.zeros((w_pad - w, win_idx.shape[1]), np.int32)
+            ])
+        return fn(unique_u8, win_idx)[:w]
+
     def _fold_stride(self) -> int:
         m = self.cfg.model
         T = self.cfg.data.num_frames
@@ -364,11 +408,15 @@ class CollisionPredictor:
             video_path, flat, target_size=dc.frame_size, letterbox=True
         )
         pos = {int(f): i for i, f in enumerate(flat)}
-        windows = np.stack([
-            decoded[[pos[int(i)] for i in idx]] for idx in all_indices
-        ])  # [W, T, S, S, 3]
+        win_idx = np.asarray([[pos[int(i)] for i in idx]
+                              for idx in all_indices], np.int32)  # [W, T]
 
-        probs = np.asarray(self._forward(windows))
+        # Ship unique frames ONCE and build windows on-device: overlapping
+        # windows duplicate every frame ~window/stride times (5x at the
+        # defaults), so host→device transfer drops by the same factor and
+        # the window assembly becomes one HBM row-gather instead of a numpy
+        # stack. Shapes are bucketed so repeated calls hit the jit cache.
+        probs = np.asarray(self._sliding_forward(decoded, win_idx))
         out = []
         for w, (s, p) in enumerate(zip(starts, probs)):
             k = int(p.argmax())

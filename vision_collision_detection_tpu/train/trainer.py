@@ -141,14 +141,14 @@ class Trainer:
             num_workers=dc.num_workers, seed=dc.seed,
             num_shards=self.strategy.num_data_shards,
             shard_index=self.strategy.data_shard_index,
-            pad_partial=pad_partial,
+            pad_partial=pad_partial, mask_wrap=True,
         )
         self.mini_val_loader = ClipLoader(
             val_ds, per_host_batch, shuffle=True, drop_last=False,
             num_workers=dc.num_workers, seed=dc.seed + 1,
             num_shards=self.strategy.num_data_shards,
             shard_index=self.strategy.data_shard_index,
-            pad_partial=pad_partial,
+            pad_partial=pad_partial, mask_wrap=True,
         )
         self.test_loader = (
             ClipLoader(
@@ -156,7 +156,7 @@ class Trainer:
                 num_workers=dc.num_workers, seed=dc.seed,
                 num_shards=self.strategy.num_data_shards,
                 shard_index=self.strategy.data_shard_index,
-                pad_partial=pad_partial,
+                pad_partial=pad_partial, mask_wrap=True,
             )
             if test_ds is not None else None
         )
