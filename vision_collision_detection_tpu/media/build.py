@@ -27,7 +27,8 @@ def needs_build() -> bool:
 
 def build(verbose: bool = False) -> str:
     cmd = (
-        ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-Wall"]
+        ["g++", "-O3", "-march=native", "-funroll-loops", "-shared",
+         "-fPIC", "-std=c++17", "-Wall"]
         + [f"-I{d}" for d in _INCLUDE_DIRS]
         + [SOURCE, "-o", LIBRARY]
         + [f"-l{l}" for l in _LIBS]
