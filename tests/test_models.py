@@ -99,3 +99,37 @@ def test_train_mode_runs_with_dropout_and_batchstats():
     x = jnp.ones((B, 4, H, W, 3))
     _, logits = _init_and_apply(model, x, train=True)
     assert logits.shape == (B, 3)
+
+
+def test_hoisted_gru_equals_flax_rnn():
+    """The hoisted-scan GRU (input projections batched outside the scan)
+    must match nn.RNN(nn.GRUCell) exactly on shared params — same tree,
+    same seeded init, same outputs."""
+    import flax.linen as nn
+
+    from vision_collision_detection_tpu.models.temporal import TemporalRNN
+
+    class OldGRU(nn.Module):
+        hidden: int = 8
+
+        @nn.compact
+        def __call__(self, x):
+            fw = nn.RNN(nn.GRUCell(features=self.hidden, dtype=jnp.float32,
+                                   name="fw_cell"), name="fw")(x)
+            bw = nn.RNN(nn.GRUCell(features=self.hidden, dtype=jnp.float32,
+                                   name="bw_cell"), reverse=True,
+                        keep_order=True, name="bw")(x)
+            last = jnp.concatenate([fw[:, -1], bw[:, 0]], -1)
+            return nn.relu(nn.Dense(self.hidden, name="proj")(last))
+
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((3, 7, 12)), jnp.float32)
+    old = OldGRU()
+    v_old = old.init(jax.random.PRNGKey(5), x)
+    new = TemporalRNN(dim=12, hidden=8, cell_type="gru")
+    v_new = new.init(jax.random.PRNGKey(5), x)
+    for a, b in zip(jax.tree.leaves(v_old), jax.tree.leaves(v_new)):
+        np.testing.assert_array_equal(a, b)  # same seeded init
+    y_old = old.apply(v_old, x)
+    y_new = new.apply(v_old, x)  # old params through the hoisted path
+    np.testing.assert_allclose(y_old, y_new, atol=1e-6)

@@ -120,6 +120,67 @@ class AdaptivePooling(nn.Module):
         return dim
 
 
+class _HoistedGRU(nn.Module):
+    """GRU direction with input projections hoisted out of the scan.
+
+    Exact nn.GRUCell math and an IDENTICAL param tree (ir/iz/in/hr/hz/hn
+    under this module's name, same initializers → same seed draws), but the
+    three input projections run as single batched MXU matmuls over [B,T,D]
+    while the serial scan keeps only the three [B,H]x[H,H] hidden matmuls —
+    the classic TPU RNN optimization (the recurrence is latency-bound, so
+    shrinking per-step work shortens the serial chain)."""
+
+    hidden: int
+    dtype: Any = jnp.float32
+    reverse: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        B, T, _ = x.shape
+        H = self.hidden
+        gr = nn.Dense(H, dtype=self.dtype, name="ir")(x)
+        gz = nn.Dense(H, dtype=self.dtype, name="iz")(x)
+        gn = nn.Dense(H, dtype=self.dtype, name="in")(x)
+        ortho = nn.initializers.orthogonal()
+        hr = nn.Dense(H, use_bias=False, dtype=self.dtype, kernel_init=ortho,
+                      name="hr")
+        hz = nn.Dense(H, use_bias=False, dtype=self.dtype, kernel_init=ortho,
+                      name="hz")
+        hn = nn.Dense(H, use_bias=True, dtype=self.dtype, kernel_init=ortho,
+                      name="hn")
+        # materialize the recurrent params, then close over the concrete
+        # arrays inside lax.scan (flax modules can't be called in scan)
+        probe = jnp.zeros((1, H), x.dtype)
+        hr(probe), hz(probe), hn(probe)
+        p = self.variables["params"]
+        whr = jnp.asarray(p["hr"]["kernel"], self.dtype)
+        whz = jnp.asarray(p["hz"]["kernel"], self.dtype)
+        whn = jnp.asarray(p["hn"]["kernel"], self.dtype)
+        bhn = jnp.asarray(p["hn"]["bias"], self.dtype)
+
+        if self.reverse:
+            gr, gz, gn = gr[:, ::-1], gz[:, ::-1], gn[:, ::-1]
+
+        def body(h, g):
+            gr_t, gz_t, gn_t = g
+            r = nn.sigmoid(gr_t + h @ whr)
+            z = nn.sigmoid(gz_t + h @ whz)
+            n = nn.tanh(gn_t + r * (h @ whn + bhn))
+            h = (1.0 - z) * n + z * h
+            return h, h
+
+        h0 = jnp.zeros((B, H), self.dtype)
+        _, ys = jax.lax.scan(
+            body, h0,
+            (jnp.swapaxes(gr, 0, 1), jnp.swapaxes(gz, 0, 1),
+             jnp.swapaxes(gn, 0, 1)),
+        )
+        ys = jnp.swapaxes(ys, 0, 1)
+        if self.reverse:
+            ys = ys[:, ::-1]  # keep_order semantics (original time order)
+        return ys
+
+
 class TemporalRNN(nn.Module):
     """rnn | lstm | gru over time via lax.scan; bidirectional concat + proj."""
 
@@ -142,12 +203,23 @@ class TemporalRNN(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = x.astype(self.dtype)
-        fw = nn.RNN(self._make_cell("fw_cell"), name="fw")(x)  # [B, T, H]
-        last = fw[:, -1]
-        if self.bidirectional:
-            bw = nn.RNN(self._make_cell("bw_cell"), reverse=True,
-                        keep_order=True, name="bw")(x)
-            last = jnp.concatenate([last, bw[:, 0]], axis=-1)
+        if self.cell_type == "gru":
+            # hoisted scan: same params + math as nn.RNN(nn.GRUCell), less
+            # serial work per step (see _HoistedGRU)
+            fw = _HoistedGRU(hidden=self.hidden, dtype=self.dtype,
+                             name="fw_cell")(x)
+            last = fw[:, -1]
+            if self.bidirectional:
+                bw = _HoistedGRU(hidden=self.hidden, dtype=self.dtype,
+                                 reverse=True, name="bw_cell")(x)
+                last = jnp.concatenate([last, bw[:, 0]], axis=-1)
+        else:
+            fw = nn.RNN(self._make_cell("fw_cell"), name="fw")(x)  # [B, T, H]
+            last = fw[:, -1]
+            if self.bidirectional:
+                bw = nn.RNN(self._make_cell("bw_cell"), reverse=True,
+                            keep_order=True, name="bw")(x)
+                last = jnp.concatenate([last, bw[:, 0]], axis=-1)
         out = nn.Dense(self.hidden, dtype=self.dtype, name="proj")(last)
         return nn.relu(out).astype(jnp.float32)
 
