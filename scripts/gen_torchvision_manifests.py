@@ -5,7 +5,7 @@ The reference loads these exact pretrained torchvision models
 but its state_dict layout is a deterministic public fact of the architecture
 code (Sequential nesting + Conv2dNormActivation/CNBlock/MBConv structure).
 This script derives each manifest from those construction rules and writes
-them to tests/fixtures/torchvision_manifests/<name>.json so that
+them to vision_collision_detection_tpu/models/manifests/<name>.json so that
 tests/test_manifests.py can assert models/convert.py consumes exactly the
 real key set — no missing keys, no unexpected keys — and that the converted
 shapes match our flax backbones' init structure.
@@ -33,7 +33,7 @@ from vision_collision_detection_tpu.models.backbones.mobilenet import (  # noqa:
     _V3_SMALL_TABLE,
 )
 
-OUT_DIR = os.path.join(REPO, "tests", "fixtures", "torchvision_manifests")
+OUT_DIR = os.path.join(REPO, "vision_collision_detection_tpu", "models", "manifests")
 
 
 def bn(m, name, ch):

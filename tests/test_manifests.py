@@ -3,7 +3,7 @@
 torchvision is not installed in this environment; all previous converter
 parity was proven against hand-built torch mirrors. These tests pin the
 converters to the REAL torchvision key universe instead: each fixture in
-tests/fixtures/torchvision_manifests/ lists every state_dict key and shape
+vision_collision_detection_tpu/models/manifests/ lists every state_dict key and shape
 of one of the 10 pretrained backbones the reference loads
 (/root/reference/nexar_arch.py:289-341), validated out-of-band by exactly
 matching torchvision's published per-model parameter counts
@@ -31,8 +31,9 @@ from vision_collision_detection_tpu.models.convert import (
     convert_torch_state_dict,
 )
 
-FIXTURE_DIR = os.path.join(os.path.dirname(__file__), "fixtures",
-                           "torchvision_manifests")
+from vision_collision_detection_tpu.models.convert import MANIFEST_DIR
+
+FIXTURE_DIR = MANIFEST_DIR
 
 BACKBONES = [
     "resnet18", "resnet50",
@@ -129,3 +130,27 @@ def test_converted_shapes_match_flax_init(name):
         assert set(init_bs) <= set(conv_bs)
         for k in init_bs:
             assert conv_bs[k] == init_bs[k], f"{name}: batch_stats {k}"
+
+
+def test_validate_state_dict_catches_problems():
+    from vision_collision_detection_tpu.models.convert import (
+        validate_state_dict,
+    )
+
+    good = {k: np.zeros(s, np.float32) for k, s in _load("resnet18").items()}
+    validate_state_dict(good, "resnet18")  # exact layout passes
+    validate_state_dict(  # head keys optional (the reference strips them)
+        {k: v for k, v in good.items() if not k.startswith("fc.")},
+        "resnet18")
+
+    with pytest.raises(ValueError, match="missing"):
+        bad = dict(good)
+        del bad["layer2.0.conv1.weight"]
+        validate_state_dict(bad, "resnet18")
+    with pytest.raises(ValueError, match="unexpected"):
+        validate_state_dict(dict(good, **{"layer9.0.conv1.weight":
+                                          np.zeros((1,))}), "resnet18")
+    with pytest.raises(ValueError, match="shape mismatch"):
+        validate_state_dict(dict(good, **{"conv1.weight":
+                                          np.zeros((64, 3, 3, 3))}),
+                            "resnet18")

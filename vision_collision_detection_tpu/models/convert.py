@@ -17,6 +17,7 @@ Layout rules:
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Tuple
 
 import numpy as np
@@ -281,12 +282,78 @@ _CONVERTERS = {
 }
 
 
-def convert_torch_state_dict(state_dict: Dict, backbone: str) -> Dict:
-    """→ {"params": ..., "batch_stats": ...} for the named flax backbone."""
+# Vendored torchvision state_dict manifests (key → shape for every
+# parameter+buffer of the 10 backbones the reference loads,
+# /root/reference/nexar_arch.py:289-341). Generated by
+# scripts/gen_torchvision_manifests.py and validated by exactly matching
+# torchvision's published per-model parameter counts.
+MANIFEST_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "manifests")
+
+
+def load_manifest(backbone: str) -> Dict[str, tuple]:
+    import json
+
+    with open(os.path.join(MANIFEST_DIR, f"{backbone}.json")) as f:
+        return {k: tuple(v) for k, v in json.load(f)["keys"].items()}
+
+
+def _head_or_buffer(backbone: str, key: str) -> bool:
+    """Keys legitimately absent/ignored: the ImageNet classification head
+    (the reference strips it) and BatchNorm step counters."""
+    if key.endswith("num_batches_tracked"):
+        return True
+    if backbone.startswith("convnext"):
+        # classifier.0 is the feature-path LayerNorm2d; only the fc is head
+        return key.startswith("classifier.2")
+    return key.startswith("fc.") or key.startswith("classifier.")
+
+
+def validate_state_dict(state_dict: Dict, backbone: str) -> None:
+    """Check an incoming torchvision state_dict against the vendored
+    manifest; raise with an actionable message on missing/unexpected keys
+    or shape mismatches (instead of a bare KeyError mid-conversion)."""
+    manifest = load_manifest(backbone)
+    keys = set(state_dict.keys())
+    required = {k for k in manifest if not _head_or_buffer(backbone, k)}
+    missing = sorted(required - keys)
+    unexpected = sorted(
+        k for k in keys - set(manifest)
+        if not _head_or_buffer(backbone, k)
+    )
+    problems = []
+    if missing:
+        problems.append(f"{len(missing)} missing keys, e.g. {missing[:5]}")
+    if unexpected:
+        problems.append(
+            f"{len(unexpected)} unexpected keys, e.g. {unexpected[:5]}")
+    for k in sorted(required & keys):
+        got = tuple(getattr(state_dict[k], "shape", ()))
+        if got != manifest[k]:
+            problems.append(f"shape mismatch at {k}: {got} vs "
+                            f"torchvision {manifest[k]}")
+            break
+    if problems:
+        raise ValueError(
+            f"state_dict does not match the torchvision {backbone!r} "
+            f"layout: " + "; ".join(problems) +
+            ". Expected a torchvision classification checkpoint "
+            "(strict layout vendored in models/manifests/).")
+
+
+def convert_torch_state_dict(state_dict: Dict, backbone: str,
+                             validate: bool = False) -> Dict:
+    """→ {"params": ..., "batch_stats": ...} for the named flax backbone.
+
+    validate=True checks the incoming keys/shapes against the vendored
+    torchvision manifest first (clear errors at import time; the offline
+    CLI enables this)."""
     if backbone not in _CONVERTERS:
         raise NotImplementedError(
             f"no converter for {backbone!r}; available: {sorted(_CONVERTERS)}"
         )
+    if validate:
+        validate_state_dict(state_dict, backbone)
     return _CONVERTERS[backbone](state_dict)
 
 
@@ -324,12 +391,12 @@ def _unflatten(flat: Dict[str, np.ndarray]) -> Dict:
 
 
 def convert_checkpoint_file(pth_path: str, backbone: str, out_path: str) -> str:
-    """Offline CLI helper: torch .pth → flax .npz."""
+    """Offline CLI helper: torch .pth → flax .npz (manifest-validated)."""
     import torch
 
     sd = torch.load(pth_path, map_location="cpu", weights_only=True)
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
-    tree = convert_torch_state_dict(sd, backbone)
+    tree = convert_torch_state_dict(sd, backbone, validate=True)
     save_npz(tree, out_path)
     return out_path
