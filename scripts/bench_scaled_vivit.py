@@ -67,8 +67,6 @@ def device_memory(dev, compiled=None) -> dict:
 
 
 def run_config(cfg_base, B, remat, frames, size, dev, train=True):
-    import dataclasses
-
     import jax
 
     from vision_collision_detection_tpu.train.steps import (

@@ -95,8 +95,6 @@ class CollisionPredictor:
         windows are gathered on-device from the unique-frame pool."""
         if "sliding" in self._forward_cache:
             return self._forward_cache["sliding"]
-        import dataclasses  # noqa: F401
-
         mcfg = self.cfg.model
         model = (self._model_override if self._model_override is not None
                  else build_model(mcfg))
