@@ -63,6 +63,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--validation-freq", type=int, default=2)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--no-augment", action="store_true")
+    p.add_argument("--dashboard", action="store_true",
+                   help="live console+HTML training dashboard "
+                        "(the reference's DynamicTrainingVisualizer)")
     # experiment
     p.add_argument("--save-dir", default="runs")
     p.add_argument("--experiment-name", default="")
@@ -100,6 +103,7 @@ def config_from_args(args) -> "ExperimentConfig":
         "train.validation_freq": args.validation_freq,
         "train.seed": args.seed,
         "train.resume": args.resume,
+        "train.dashboard": args.dashboard,
         "augment.enabled": not args.no_augment,
         "experiment_name": args.experiment_name,
         "save_dir": args.save_dir,
