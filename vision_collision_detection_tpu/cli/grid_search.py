@@ -42,6 +42,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    from vision_collision_detection_tpu.cli import enable_compile_cache
+
+    enable_compile_cache()
     args = build_parser().parse_args(argv)
     strategy = pick_strategy(args)
     base_cfg = config_from_args(args)

@@ -35,6 +35,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    from vision_collision_detection_tpu.cli import enable_compile_cache
+
+    enable_compile_cache()
     args = build_parser().parse_args(argv)
 
     from vision_collision_detection_tpu.infer import CollisionPredictor

@@ -187,6 +187,9 @@ def pick_strategy(args):
 
 
 def main(argv=None) -> int:
+    from vision_collision_detection_tpu.cli import enable_compile_cache
+
+    enable_compile_cache()
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
     strategy = pick_strategy(args)
