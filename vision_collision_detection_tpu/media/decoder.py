@@ -81,6 +81,12 @@ def _get_lib():
                 ]
                 lib.vcd_encode.restype = ctypes.c_int
                 lib.vcd_last_error.restype = ctypes.c_char_p
+                lib.vcd_profile_enable.argtypes = [ctypes.c_int]
+                lib.vcd_profile_reset.argtypes = []
+                lib.vcd_profile_get.argtypes = [
+                    ctypes.POINTER(ctypes.c_longlong),
+                    ctypes.c_int,
+                ]
                 _lib = lib
     return _lib
 
@@ -203,6 +209,38 @@ def decode_batch(
     if rc != 0:
         raise MediaError(f"batch decode failed: {_last_error()}")
     return out, written > 0
+
+
+def profile_decode(enable: bool = True) -> None:
+    """Toggle the C library's decode-stage profiler (thread-safe ns
+    accumulators over the hot path; ~zero overhead when off)."""
+    lib = _get_lib()
+    if enable:
+        lib.vcd_profile_reset()
+    lib.vcd_profile_enable(1 if enable else 0)
+
+
+def decode_profile() -> dict:
+    """Read the accumulated per-stage decode costs since the last
+    ``profile_decode(True)``.
+
+    Returns seconds per stage — demux+libav decode, swscale YUV→RGB,
+    AA resize, copy/pad — plus frame/seek counts. The measured breakdown
+    behind the e2e bench's host-decode ceiling."""
+    lib = _get_lib()
+    buf = (ctypes.c_longlong * 9)()
+    lib.vcd_profile_get(buf, 9)
+    return {
+        "decode_s": buf[0] / 1e9,
+        "yuv_to_rgb_s": buf[1] / 1e9,
+        "resize_s": buf[2] / 1e9,
+        "copy_pad_s": buf[3] / 1e9,
+        "open_s": buf[4] / 1e9,
+        "frames_decoded": int(buf[5]),
+        "frames_converted": int(buf[6]),
+        "seeks": int(buf[7]),
+        "frames_skipped_by_seek": int(buf[8]),
+    }
 
 
 def encode_video(path: str, frames: np.ndarray, fps: float = 10.0) -> None:
