@@ -101,19 +101,26 @@ def ensure_fixtures() -> list:
             x = max(0, min(SRC_W - size, x))
             frames[t, y:y + size, x:x + size] = (200, 80 + i % 100, 60)
             # block noise so the codec can't trivially skip macroblocks
-            noise = rng.integers(0, 30, size=(SRC_H // 8, SRC_W // 8, 3),
-                                 dtype=np.uint8)
-            frames[t] += np.kron(noise, np.ones((8, 8, 1), np.uint8))
+            # (int16 accumulate + clip: uint8 += wraps near-255 pixels)
+            noise = rng.integers(0, 30,
+                                 size=(SRC_H // 8, SRC_W // 8, 3)).astype(np.int16)
+            block = np.kron(noise, np.ones((8, 8, 1), np.int16))
+            frames[t] = np.clip(frames[t].astype(np.int16) + block,
+                                0, 255).astype(np.uint8)
         encode_video(p, frames, fps=CLIP_FPS)
         log(f"encoded fixture {i + 1}/{NUM_CLIPS}")
     return paths
 
 
-def make_dataset(paths):
+def make_dataset(paths, repeats: int = 1):
+    """repeats>1 replays the fixture set so throughput legs measure one
+    CONTINUOUS loader stream (steady-state pipelining) instead of restarting
+    the prefetch producer every 2-batch pass — the restart hole was ~15% of
+    the round-3 e2e leg."""
     from vision_collision_detection_tpu.data.datasets import ClipDataset, ClipRecord
     from vision_collision_detection_tpu.ops.letterbox import letterbox_geometry
 
-    records = [ClipRecord(os.path.basename(p), p, 0) for p in paths]
+    records = [ClipRecord(os.path.basename(p), p, 0) for p in paths * repeats]
     # ship letterbox CONTENT rows only (the black bars are ~44% of the bytes
     # for 16:9 → square); the device pads them back inside the fused program
     nh, nw, _, _ = letterbox_geometry(SRC_H, SRC_W, FRAME_SIZE)
@@ -161,21 +168,22 @@ def build_forward():
     return cfg, forward
 
 
-def bench_decode_only(ds) -> tuple:
-    """Host decode ceiling: loader without any device work."""
+def bench_decode_only(ds, warm_ds) -> tuple:
+    """Host decode ceiling: loader without any device work (one continuous
+    stream over the PASSES-repeated dataset, same shape as the e2e leg)."""
     from vision_collision_detection_tpu.data.loader import ClipLoader
 
-    loader = ClipLoader(ds, BATCH, num_workers=min(16, os.cpu_count() or 8),
-                        prefetch_batches=3)
-    for batch in loader:  # warm decoder caches
-        pass
+    workers = min(16, os.cpu_count() or 8)
+    for batch in ClipLoader(warm_ds, BATCH, num_workers=workers):
+        pass  # warm decoder caches
+
+    loader = ClipLoader(ds, BATCH, num_workers=workers, prefetch_batches=3)
 
     def one():
         n = 0
         t0 = time.perf_counter()
-        for _ in range(PASSES):
-            for batch in loader:
-                n += batch["frames"].shape[0]
+        for batch in loader:
+            n += batch["frames"].shape[0]
         return n / (time.perf_counter() - t0)
 
     return _median_trials(one, label="decode-only")
@@ -204,29 +212,32 @@ def bench_device_only(forward, ds) -> tuple:
     return _median_trials(one, label="device-only")
 
 
-def setup_tpu_pipeline(ds, forward):
+def setup_tpu_pipeline(ds, warm_ds, forward):
     """Our e2e pipeline: threaded C++ decode → device batches → fused
-    program. Returns a warmed single-trial closure (clips/s)."""
+    program, ONE continuous prefetch stream per trial (the decode producer
+    never idles between passes). Returns a warmed single-trial closure
+    (clips/s)."""
     from vision_collision_detection_tpu.data.loader import ClipLoader, device_prefetch
 
-    loader = ClipLoader(ds, BATCH, num_workers=min(16, os.cpu_count() or 8),
-                        prefetch_batches=3)
+    workers = min(16, os.cpu_count() or 8)
 
     # warmup: compile + decoder caches; consume the WHOLE pass so no
     # abandoned producer threads keep decoding into the timed trials
     out = None
-    for batch in device_prefetch(iter(loader), keys=("frames",)):
+    warm = ClipLoader(warm_ds, BATCH, num_workers=workers, prefetch_batches=3)
+    for batch in device_prefetch(iter(warm), keys=("frames",)):
         out = forward(batch["frames"])
     out.block_until_ready()
+
+    loader = ClipLoader(ds, BATCH, num_workers=workers, prefetch_batches=3)
 
     def one():
         n = 0
         t0 = time.perf_counter()
         out = None
-        for _ in range(PASSES):
-            for batch in device_prefetch(iter(loader), keys=("frames",)):
-                out = forward(batch["frames"])  # async dispatch
-                n += batch["frames"].shape[0]
+        for batch in device_prefetch(iter(loader), keys=("frames",)):
+            out = forward(batch["frames"])  # async dispatch
+            n += batch["frames"].shape[0]
         out.block_until_ready()
         return n / (time.perf_counter() - t0)
 
@@ -279,6 +290,20 @@ def setup_reference_style(paths, cfg):
 
     fwd1(jnp.asarray(clip[None])).block_until_ready()
 
+    # Fairness variant (round-3 review): the reference evaluates at batch
+    # 8/GPU (/root/reference/nexar_train_distributed.py:73), so also measure
+    # the reference-style transforms feeding BATCHED B=8 forwards — the
+    # strongest honest form of the baseline. The headline uses whichever
+    # baseline is faster.
+    REF_B = 8
+
+    @jax.jit
+    def fwd8(x):
+        return jax.nn.softmax(model.apply(variables, x, train=False), axis=-1)
+
+    fwd8(jnp.zeros((REF_B, CLIP_FRAMES, FRAME_SIZE, FRAME_SIZE, 3),
+                   jnp.float32)).block_until_ready()
+
     def one():
         t0 = time.perf_counter()
         out = None
@@ -288,7 +313,20 @@ def setup_reference_style(paths, cfg):
         out.block_until_ready()
         return BASELINE_CLIPS / (time.perf_counter() - t0)
 
-    return one
+    def one_batched():
+        t0 = time.perf_counter()
+        out = None
+        buf = np.empty((REF_B, CLIP_FRAMES, FRAME_SIZE, FRAME_SIZE, 3),
+                       np.float32)
+        for b0 in range(0, BASELINE_CLIPS, REF_B):
+            group = paths[b0:b0 + REF_B]
+            for j, p in enumerate(group):
+                buf[j] = one_clip(p)
+            out = fwd8(jnp.asarray(buf))
+        out.block_until_ready()
+        return BASELINE_CLIPS / (time.perf_counter() - t0)
+
+    return one, one_batched
 
 
 def bench_decode_scaling(paths) -> dict:
@@ -404,23 +442,29 @@ def main() -> None:
     run_train = "--no-train" not in sys.argv
     paths = ensure_fixtures()
     cfg, forward = build_forward()
-    ds = make_dataset(paths)
+    warm_ds = make_dataset(paths)
+    ds = make_dataset(paths, repeats=PASSES)
 
-    decode_med, decode_trials = bench_decode_only(ds)
-    device_med, device_trials = bench_device_only(forward, ds)
+    decode_med, decode_trials = bench_decode_only(ds, warm_ds)
+    device_med, device_trials = bench_device_only(forward, warm_ds)
 
-    # headline legs: interleaved trials (ababab...) so host load drift
-    # hits the numerator and denominator equally
-    e2e_one = setup_tpu_pipeline(ds, forward)
-    base_one = setup_reference_style(paths, cfg)
-    e2e_trials, base_trials = [], []
+    # headline legs: interleaved trials (abcabc...) so host load drift
+    # hits the numerator and both baseline variants equally
+    e2e_one = setup_tpu_pipeline(ds, warm_ds, forward)
+    base_one, base_batched_one = setup_reference_style(paths, cfg)
+    e2e_trials, base_trials, base_b8_trials = [], [], []
     for t in range(HEADLINE_TRIALS):
         e2e_trials.append(e2e_one())
         log(f"e2e tpu pipeline trial {t}: {e2e_trials[-1]:.2f} clips/s")
         base_trials.append(base_one())
         log(f"reference-style trial {t}: {base_trials[-1]:.2f} clips/s")
+        base_b8_trials.append(base_batched_one())
+        log(f"reference-style B=8 trial {t}: {base_b8_trials[-1]:.2f} clips/s")
     e2e_med = statistics.median(e2e_trials)
-    base_med = statistics.median(base_trials)
+    base_b1_med = statistics.median(base_trials)
+    base_b8_med = statistics.median(base_b8_trials)
+    # headline denominator: the STRONGER baseline variant
+    base_med = max(base_b1_med, base_b8_med)
 
     def spread(rs):
         return round((max(rs) - min(rs)) / statistics.median(rs), 3)
@@ -474,7 +518,12 @@ def main() -> None:
             "e2e_trials": [round(r, 3) for r in e2e_trials],
             "e2e_spread": spread(e2e_trials),
             "baseline_clips_per_s": round(base_med, 3),
+            "baseline_variant_used": "B=8" if base_b8_med >= base_b1_med
+            else "B=1",
+            "baseline_b1_clips_per_s": round(base_b1_med, 3),
             "baseline_trials": [round(r, 3) for r in base_trials],
+            "baseline_b8_clips_per_s": round(base_b8_med, 3),
+            "baseline_b8_trials": [round(r, 3) for r in base_b8_trials],
             "baseline_spread": spread(base_trials),
             "baseline_clips": BASELINE_CLIPS,
             "trials_interleaved": True,

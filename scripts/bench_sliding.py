@@ -31,7 +31,9 @@ def log(m):
 
 
 def make_long_video(path: str, seconds: int, fps: int, h=720, w=1280) -> str:
-    from vision_collision_detection_tpu.media.decoder import encode_video, probe
+    """Chunked synthesis through the streaming VideoWriter — a 5-minute
+    720p video would need ~8 GB as a single array."""
+    from vision_collision_detection_tpu.media.decoder import VideoWriter, probe
 
     n = seconds * fps
     if os.path.exists(path):
@@ -41,27 +43,104 @@ def make_long_video(path: str, seconds: int, fps: int, h=720, w=1280) -> str:
         except Exception:
             pass
     rng = np.random.default_rng(7)
-    frames = np.zeros((n, h, w, 3), np.uint8)
-    frames[:] = rng.integers(20, 90, size=3)
-    for t in range(n):
-        size = 60 + (t * 5) % 400
-        y = max(0, min(h - size, (h - size) // 2 + int(50 * np.sin(t / 9))))
-        x = max(0, min(w - size, (w - size) // 2 + int(90 * np.cos(t / 13))))
-        frames[t, y:y + size, x:x + size] = (190, (t * 3) % 255, 70)
-        noise = rng.integers(0, 25, size=(h // 8, w // 8, 3), dtype=np.uint8)
-        frames[t] += np.kron(noise, np.ones((8, 8, 1), np.uint8))
-    encode_video(path, frames, fps=float(fps))
+    base = rng.integers(20, 90, size=3)
+    with VideoWriter(path, w=w, h=h, fps=float(fps)) as vw:
+        chunk = np.zeros((1, h, w, 3), np.uint8)
+        for t in range(n):
+            chunk[0] = base
+            size = 60 + (t * 5) % 400
+            y = max(0, min(h - size,
+                           (h - size) // 2 + int(50 * np.sin(t / 9))))
+            x = max(0, min(w - size,
+                           (w - size) // 2 + int(90 * np.cos(t / 13))))
+            chunk[0, y:y + size, x:x + size] = (190, (t * 3) % 255, 70)
+            # accumulate in int16: uint8 += would wrap near-255 pixels into
+            # speckle artifacts (ADVICE r3)
+            noise = rng.integers(0, 25,
+                                 size=(h // 8, w // 8, 3)).astype(np.int16)
+            block = np.kron(noise, np.ones((8, 8, 1), np.int16))
+            chunk[0] = np.clip(chunk[0].astype(np.int16) + block,
+                               0, 255).astype(np.uint8)
+            vw.append(chunk)
     return path
+
+
+def bench_one(pred, cfg, video, seconds, fps, stride_sec, max_windows,
+              trials) -> dict:
+    """One video-length row: windows/s, decode share, unique-frame count —
+    the amortization evidence (longer videos reuse decoded frames across
+    overlapping windows; round-4 review asked whether windows/s holds at
+    5 minutes)."""
+    import jax
+
+    from vision_collision_detection_tpu.media.decoder import decode_frames, probe
+
+    info = probe(video)
+    log(f"video: {info.num_frames} frames @ {info.fps} fps "
+        f"({info.duration:.0f}s {info.width}x{info.height})")
+
+    # warmup (compile the batched forward at this window-count bucket)
+    t0 = time.perf_counter()
+    rows = pred.predict_sliding(video, stride_sec=stride_sec,
+                                max_windows=max_windows)
+    warm_s = time.perf_counter() - t0
+    n_windows = len(rows)
+    log(f"warmup: {n_windows} windows in {warm_s:.1f}s (incl. compile)")
+
+    # decode-only stage split: the unique-frame decode predict_sliding does
+    T = cfg.data.num_frames
+    native_per_window = int(round(cfg.data.duration * info.fps))
+    stride_frames = max(1, int(round(stride_sec * info.fps)))
+    starts = list(range(
+        0, max(1, info.num_frames - native_per_window + 1), stride_frames
+    ))[:max_windows]
+    flat = np.unique(np.concatenate([
+        np.linspace(s, min(s + native_per_window - 1, info.num_frames - 1),
+                    T).astype(np.int64) for s in starts
+    ]))
+    t0 = time.perf_counter()
+    decode_frames(video, flat, target_size=cfg.data.frame_size, letterbox=True)
+    decode_s = time.perf_counter() - t0
+    log(f"decode-only: {len(flat)} unique frames in {decode_s:.2f}s")
+
+    rates, e2e_secs = [], []
+    for trial in range(trials):
+        t0 = time.perf_counter()
+        rows = pred.predict_sliding(video, stride_sec=stride_sec,
+                                    max_windows=max_windows)
+        dt = time.perf_counter() - t0
+        rates.append(len(rows) / dt)
+        e2e_secs.append(dt)
+        log(f"trial {trial}: {rates[-1]:.2f} windows/s ({dt:.2f}s e2e)")
+
+    covered = (min(starts[-1] + native_per_window, info.num_frames)
+               / info.fps if starts else 0.0)
+    return {
+        "video": {"seconds": seconds, "fps": fps,
+                  "resolution": f"{info.width}x{info.height}"},
+        "stride_sec": stride_sec,
+        "n_windows": n_windows,
+        "video_seconds_covered": round(covered, 1),
+        "unique_frames_decoded": int(len(flat)),
+        "frames_per_window_amortized": round(len(flat) / max(1, n_windows), 1),
+        "windows_per_s": round(statistics.median(rates), 3),
+        "trials": [round(r, 3) for r in rates],
+        "e2e_sec_median": round(statistics.median(e2e_secs), 2),
+        "decode_only_sec": round(decode_s, 2),
+        "decode_share": round(decode_s / statistics.median(e2e_secs), 3),
+        "device_kind": jax.devices()[0].device_kind,
+        "realtime_factor": round(covered / statistics.median(e2e_secs), 1),
+    }
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--seconds", type=int, default=60)
+    ap.add_argument("--seconds", type=int, nargs="+", default=[60, 300])
     ap.add_argument("--fps", type=int, default=10)
     ap.add_argument("--stride-sec", type=float, default=1.0)
-    ap.add_argument("--max-windows", type=int, default=64)
+    ap.add_argument("--max-windows", type=int, nargs="+", default=[64, 128])
     ap.add_argument("--trials", type=int, default=3)
-    ap.add_argument("--output", default=os.path.join(REPO, "SLIDING_r03.json"))
+    ap.add_argument("--output", default=os.path.join(REPO, "SLIDING_r04.json"))
     args = ap.parse_args()
 
     import jax
@@ -71,15 +150,7 @@ def main() -> int:
 
     from vision_collision_detection_tpu.config import ExperimentConfig
     from vision_collision_detection_tpu.infer import CollisionPredictor
-    from vision_collision_detection_tpu.media.decoder import decode_frames, probe
     from vision_collision_detection_tpu.models import build_model
-
-    video = make_long_video(
-        os.path.join(REPO, ".bench_cache", "long_video.mp4"),
-        args.seconds, args.fps)
-    info = probe(video)
-    log(f"long video: {info.num_frames} frames @ {info.fps} fps "
-        f"({info.duration:.0f}s {info.width}x{info.height})")
 
     # flagship architecture with seeded weights (throughput is
     # weight-independent)
@@ -93,56 +164,19 @@ def main() -> int:
     pred = CollisionPredictor(
         cfg, variables["params"], variables.get("batch_stats", {}))
 
-    # warmup (compile the batched forward at the window count)
-    t0 = time.perf_counter()
-    rows = pred.predict_sliding(video, stride_sec=args.stride_sec,
-                                max_windows=args.max_windows)
-    warm_s = time.perf_counter() - t0
-    n_windows = len(rows)
-    log(f"warmup: {n_windows} windows in {warm_s:.1f}s (incl. compile)")
+    rows = []
+    caps = (args.max_windows if len(args.max_windows) == len(args.seconds)
+            else [args.max_windows[-1]] * len(args.seconds))
+    for seconds, cap in zip(args.seconds, caps):
+        video = make_long_video(
+            os.path.join(REPO, ".bench_cache", f"long_video_{seconds}s.mp4"),
+            seconds, args.fps)
+        rows.append(bench_one(pred, cfg, video, seconds, args.fps,
+                              args.stride_sec, cap, args.trials))
 
-    # decode-only stage split: the unique-frame decode predict_sliding does
-    T = cfg.data.num_frames
-    native_per_window = int(round(cfg.data.duration * info.fps))
-    stride_frames = max(1, int(round(args.stride_sec * info.fps)))
-    starts = list(range(
-        0, max(1, info.num_frames - native_per_window + 1), stride_frames
-    ))[:args.max_windows]
-    flat = np.unique(np.concatenate([
-        np.linspace(s, min(s + native_per_window - 1, info.num_frames - 1),
-                    T).astype(np.int64) for s in starts
-    ]))
-    t0 = time.perf_counter()
-    decode_frames(video, flat, target_size=cfg.data.frame_size, letterbox=True)
-    decode_s = time.perf_counter() - t0
-    log(f"decode-only: {len(flat)} unique frames in {decode_s:.2f}s")
-
-    rates, e2e_secs = [], []
-    for trial in range(args.trials):
-        t0 = time.perf_counter()
-        rows = pred.predict_sliding(video, stride_sec=args.stride_sec,
-                                    max_windows=args.max_windows)
-        dt = time.perf_counter() - t0
-        rates.append(len(rows) / dt)
-        e2e_secs.append(dt)
-        log(f"trial {trial}: {rates[-1]:.2f} windows/s ({dt:.2f}s e2e)")
-
-    med = statistics.median(rates)
     out = {
-        "video": {"seconds": args.seconds, "fps": args.fps,
-                  "resolution": f"{info.width}x{info.height}"},
         "model": f"{cfg.model.backbone}+{cfg.model.temporal_mode}",
-        "stride_sec": args.stride_sec,
-        "n_windows": n_windows,
-        "unique_frames_decoded": int(len(flat)),
-        "windows_per_s": round(med, 3),
-        "trials": [round(r, 3) for r in rates],
-        "e2e_sec_median": round(statistics.median(e2e_secs), 2),
-        "decode_only_sec": round(decode_s, 2),
-        "decode_share": round(decode_s / statistics.median(e2e_secs), 3),
-        "device_kind": jax.devices()[0].device_kind,
-        "realtime_factor": round(
-            args.seconds / statistics.median(e2e_secs), 1),
+        "rows": rows,
     }
     with open(args.output, "w") as f:
         json.dump(out, f, indent=2)

@@ -51,10 +51,11 @@ def log(m):
     print(m, file=sys.stderr, flush=True)
 
 
-def torch_preprocess(paths, num_frames, frame_size):
+def torch_preprocess(paths, num_frames, frame_size, indices=None):
     """The reference's eval-time transform in torch: decode → /255 →
     antialiased bilinear letterbox → normalize (nexar_video_aug.py:705-801).
-    Returns [N, T, H, W, C] float32."""
+    ``indices``: optional per-clip frame indices (sampling-strategy legs);
+    default is the leading window. Returns [N, T, H, W, C] float32."""
     import torch
     import torch.nn.functional as tF
 
@@ -62,8 +63,9 @@ def torch_preprocess(paths, num_frames, frame_size):
     from vision_collision_detection_tpu.ops.letterbox import letterbox_geometry
 
     clips = []
-    for p in paths:
-        frames = decode_frames(p, list(range(num_frames)))  # [T,H,W,C] u8
+    for i, p in enumerate(paths):
+        idx = list(indices[i]) if indices is not None else list(range(num_frames))
+        frames = decode_frames(p, idx)  # [T,H,W,C] u8
         t = torch.from_numpy(frames).permute(0, 3, 1, 2).float() / 255.0
         nh, nw, ph, pw = letterbox_geometry(t.shape[2], t.shape[3], frame_size)
         r = tF.interpolate(t, size=(nh, nw), mode="bilinear",
@@ -140,9 +142,17 @@ def train_head(model, x, y, steps=150, lr=3e-4, batch=6, seed=0):
 def run_parity(backbone="resnet18", temporal_mode="gru", clips_per_class=6,
                frame_size=224, fps=10, duration=5, head_train_steps=150,
                workdir="/tmp/vcd_parity", checkpoint="", height=360,
-               width=640, batch_size=4, num_workers=2):
+               width=640, batch_size=4, num_workers=2,
+               sample_strategy="center", video_duration=None):
     """Build (or load) a reference-architecture torch model, run both
-    pipelines on shared weights, return the parity record dict."""
+    pipelines on shared weights, return the parity record dict.
+
+    ``sample_strategy``: center / uniform / metadata_time — both sides
+    sample identical frame indices (the strategy math is unit-tested
+    against /root/reference/nexar_videos.py:367-416 separately; here it
+    exercises the full pipeline under each access pattern).
+    ``video_duration``: clip length in seconds (> ``duration`` makes the
+    sampling strategies actually choose different windows)."""
     import torch
 
     import jax  # noqa: F401  (platform init before heavy work)
@@ -154,26 +164,40 @@ def run_parity(backbone="resnet18", temporal_mode="gru", clips_per_class=6,
         _randomize_running_stats,
     )
     from vision_collision_detection_tpu.infer import CollisionPredictor
+    from vision_collision_detection_tpu.media.decoder import probe
+    from vision_collision_detection_tpu.media.sampler import sample_clip_indices
     from vision_collision_detection_tpu.media.synthetic import generate_dataset
     from vision_collision_detection_tpu.metrics import classification_metrics
 
     import pandas as pd
 
     num_frames = fps * duration
+    video_duration = video_duration or duration
 
     # --- synthetic labeled clips (dashcam-ish motion per class) -------------
     csv = generate_dataset(
         os.path.join(workdir, "clips"),
         clips_per_class=clips_per_class,
-        num_frames=num_frames, height=height, width=width, fps=fps,
+        num_frames=fps * video_duration, height=height, width=width, fps=fps,
         splits=("test",),
     )
     df = pd.read_csv(csv)
     paths = list(df["video_path"])
     labels = list(df["video_type"])
+    event_times = [float(t) for t in df["event_time_sec"]]
     name_to_idx = {"Normal": 0, "Near Collision": 1, "Collision": 2}
     y = np.array([name_to_idx[l] for l in labels])
-    log(f"{len(paths)} clips")
+    log(f"{len(paths)} clips, strategy={sample_strategy}")
+
+    # Shared frame-index choice (probe is the single source of truth for
+    # total frames on both sides).
+    indices = [
+        sample_clip_indices(
+            sample_strategy, probe(p).num_frames, num_frames,
+            video_fps=fps, event_time_sec=et,
+        )
+        for p, et in zip(paths, event_times)
+    ]
 
     # --- reference model (torch) --------------------------------------------
     if checkpoint:
@@ -201,7 +225,7 @@ def run_parity(backbone="resnet18", temporal_mode="gru", clips_per_class=6,
 
     # --- torch-side preprocessing (shared with head training) ---------------
     log("torch preprocessing ...")
-    x = torch_preprocess(paths, num_frames, frame_size)
+    x = torch_preprocess(paths, num_frames, frame_size, indices=indices)
 
     if not checkpoint and head_train_steps > 0:
         log(f"training head+classifier for {head_train_steps} steps ...")
@@ -224,8 +248,10 @@ def run_parity(backbone="resnet18", temporal_mode="gru", clips_per_class=6,
         "data.fps": fps, "data.duration": duration,
         "data.frame_size": frame_size, "data.num_workers": num_workers,
     })
-    results = pred.predict(paths, sample_strategy="center",
-                           batch_size=batch_size)
+    results = pred.predict(
+        paths, sample_strategy=sample_strategy, batch_size=batch_size,
+        event_times=event_times if sample_strategy == "metadata_time" else None,
+    )
     by_path = {r["video_path"]: r for r in results}
     probs_o = np.stack([
         np.array([by_path[p]["probabilities"][c]
@@ -241,9 +267,11 @@ def run_parity(backbone="resnet18", temporal_mode="gru", clips_per_class=6,
     out = {
         "weights": src,
         "model": f"{backbone_name}+{mode}",
+        "sample_strategy": sample_strategy,
         "n_clips": len(paths),
         "frame_size": frame_size,
         "num_frames": num_frames,
+        "video_frames": fps * video_duration,
         "max_abs_prob_diff": float(diff.max()),
         "mean_abs_prob_diff": float(diff.mean()),
         "prediction_agreement": float(
@@ -256,30 +284,84 @@ def run_parity(backbone="resnet18", temporal_mode="gru", clips_per_class=6,
     return out
 
 
+def run_sweep(args) -> dict:
+    """Full head-matrix + sampling-strategy parity sweep (round-4 review:
+    the AUC budget must hold under ALL five temporal heads and under the
+    uniform / metadata_time access patterns, ≥32 clips per leg).
+
+    Heads use the reference's names (head math:
+    /root/reference/nexar_arch.py:17,83,122,149); the checkpoint importer
+    maps them to ours."""
+    legs = [
+        dict(backbone="resnet18", temporal_mode=m, sample_strategy="center")
+        for m in ("gru", "lstm", "attention", "convolution", "pooling")
+    ]
+    # sampling strategies over a video LONGER than the model window so the
+    # strategies pick genuinely different frames
+    legs += [
+        dict(backbone="resnet18", temporal_mode="gru",
+             sample_strategy="uniform", video_duration=8),
+        dict(backbone="resnet18", temporal_mode="gru",
+             sample_strategy="metadata_time", video_duration=8),
+        dict(backbone="convnext_tiny", temporal_mode="gru",
+             sample_strategy="center"),
+    ]
+    records = []
+    for leg in legs:
+        wd = os.path.join(args.workdir,
+                          f"vd{leg.get('video_duration', args.duration)}")
+        rec = run_parity(
+            clips_per_class=args.clips_per_class, frame_size=args.frame_size,
+            fps=args.fps, duration=args.duration,
+            head_train_steps=args.head_train_steps, workdir=wd, **leg,
+        )
+        log(json.dumps(rec))
+        records.append(rec)
+    return {
+        "legs": records,
+        "n_legs": len(records),
+        "max_auc_delta": max(r["auc_delta"] for r in records),
+        "min_agreement": min(r["prediction_agreement"] for r in records),
+        "all_within_budget": all(r["within_auc_budget_0.002"]
+                                 for r in records),
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--checkpoint", default="",
                     help="real reference .pth (default: seeded weights + "
                          "head fit on the synthetic clips)")
+    ap.add_argument("--sweep", action="store_true",
+                    help="run the full head-matrix + sampling sweep")
     ap.add_argument("--clips-per-class", type=int, default=6)
     ap.add_argument("--frame-size", type=int, default=224)
     ap.add_argument("--fps", type=int, default=10)
     ap.add_argument("--duration", type=int, default=5)
+    ap.add_argument("--video-duration", type=int, default=None,
+                    help="clip length in s (> duration exercises sampling)")
     ap.add_argument("--head-train-steps", type=int, default=150)
     ap.add_argument("--backbone", default="resnet18",
                     choices=["resnet18", "convnext_tiny"])
     ap.add_argument("--temporal-mode", default="gru")
+    ap.add_argument("--sample-strategy", default="center")
     ap.add_argument("--workdir", default="/tmp/vcd_parity")
-    ap.add_argument("--output", default=os.path.join(REPO, "PARITY_r03.json"))
+    ap.add_argument("--output", default=os.path.join(REPO, "PARITY_r04.json"))
     args = ap.parse_args()
 
-    out = run_parity(
-        backbone=args.backbone, temporal_mode=args.temporal_mode,
-        clips_per_class=args.clips_per_class, frame_size=args.frame_size,
-        fps=args.fps, duration=args.duration,
-        head_train_steps=args.head_train_steps, workdir=args.workdir,
-        checkpoint=args.checkpoint,
-    )
+    if args.sweep:
+        args.clips_per_class = max(args.clips_per_class, 11)  # ≥32 clips/leg
+        out = run_sweep(args)
+    else:
+        out = run_parity(
+            backbone=args.backbone, temporal_mode=args.temporal_mode,
+            clips_per_class=args.clips_per_class, frame_size=args.frame_size,
+            fps=args.fps, duration=args.duration,
+            head_train_steps=args.head_train_steps, workdir=args.workdir,
+            checkpoint=args.checkpoint,
+            sample_strategy=args.sample_strategy,
+            video_duration=args.video_duration,
+        )
     with open(args.output, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out, indent=2))

@@ -99,7 +99,13 @@ def parse_trace(trace_dir: str, n_steps: int) -> dict:
         return {"error": "no TPU device process in trace",
                 "processes": pid_names}
 
-    by_mod, by_cat, by_key = {}, {}, {}
+    # Non-MXU overhead categories: the round-4 review asked for a per-item
+    # accounting of the "loop fusion" + "data formatting" residue so each
+    # remaining ms is either killed or proven roofline-irreducible.
+    _OVERHEAD = ("loop fusion", "data formatting", "reverse", "copy", "pad",
+                 "input fusion", "output fusion")
+
+    by_mod, by_cat, by_key, fus = {}, {}, {}, {}
     total_us = 0.0
     for e in ev:
         if e.get("ph") != "X" or e.get("pid") not in device_pids:
@@ -115,10 +121,27 @@ def parse_trace(trace_dir: str, n_steps: int) -> dict:
         by_mod[mod] = by_mod.get(mod, 0.0) + dur
         key = f"{mod} | {cat} | {a.get('source', '?').split('/')[-1]}"
         by_key[key] = by_key.get(key, 0.0) + dur
+        if cat in _OVERHEAD:
+            fk = f"{mod} | {cat} | {a.get('source', '?').split('/')[-1]}"
+            rec = fus.setdefault(fk, {"us": 0.0, "calls": 0, "ops": set()})
+            rec["us"] += dur
+            rec["calls"] += 1
+            rec["ops"].add(e.get("name", "?"))
 
     def table(d, n=None):
         items = sorted(d.items(), key=lambda kv: -kv[1])[:n]
         return {k: round(v / 1e3 / max(n_steps, 1), 2) for k, v in items}
+
+    fusion_items = sorted(fus.items(), key=lambda kv: -kv[1]["us"])[:15]
+    top_fusions = {
+        k: {
+            "ms_per_step": round(v["us"] / 1e3 / max(n_steps, 1), 3),
+            "calls_per_step": round(v["calls"] / max(n_steps, 1), 1),
+            "distinct_ops": len(v["ops"]),
+            "example_op": sorted(v["ops"])[0],
+        }
+        for k, v in fusion_items
+    }
 
     return {
         "n_steps_traced": n_steps,
@@ -126,6 +149,7 @@ def parse_trace(trace_dir: str, n_steps: int) -> dict:
         "by_module_ms_per_step": table(by_mod),
         "by_hlo_category_ms_per_step": table(by_cat),
         "top_module_category_source_ms": table(by_key, 20),
+        "top_overhead_fusions": top_fusions,
     }
 
 

@@ -30,6 +30,7 @@ Usage: $0 {single|distributed [N]|grid-search|test|check}
 
 Config via env vars: METADATA_CSV VIDEO_DIRS BACKBONE TEMPORAL_MODE EPOCHS
 BATCH_SIZE LEARNING_RATE SAVE_DIR SAMPLE_STRATEGY
+Grid-search axes:    GRID_BACKBONES GRID_TEMPORAL_MODES GRID_LRS
 EOF
   exit 1
 }
@@ -89,8 +90,13 @@ case "${1:-}" in
       $(common_args) --data-parallel --test
     ;;
   grid-search)
-    # shellcheck disable=SC2046
-    $PYTHON -m vision_collision_detection_tpu.cli.grid_search $(common_args)
+    # Axes env-var overridable; LR axis mirrors the reference grid
+    # (/root/reference/nexar_complete.py:677-679: 2 models x 3 modes x 2 LRs)
+    # shellcheck disable=SC2046,SC2086
+    $PYTHON -m vision_collision_detection_tpu.cli.grid_search $(common_args) \
+      --backbones ${GRID_BACKBONES:-resnet18 convnext_tiny} \
+      --temporal-modes ${GRID_TEMPORAL_MODES:-attention gru lstm} \
+      --learning-rates ${GRID_LRS:-1e-4 5e-5}
     ;;
   test)
     $PYTHON -m vision_collision_detection_tpu.cli.train \

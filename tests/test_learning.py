@@ -55,6 +55,36 @@ def test_model_learns_synthetic_signal(datasets, tmp_path):
     assert df["train_loss"].iloc[-1] < df["train_loss"].iloc[0]
 
 
+@pytest.mark.slow
+def test_vivit_learns_synthetic_signal(datasets, tmp_path):
+    """The scaled flagship (vivit_small — real dims, tiny input) must FIT,
+    not just step: round-3 review flagged that the ViViT had perf evidence
+    but no learning evidence."""
+    train, val, test = datasets
+    cfg = ExperimentConfig().override({
+        "model.backbone": "vivit_small",
+        "model.patch_size": 8,
+        "model.dtype": "float32",
+        "model.dropout": 0.0,
+        "data.fps": 5, "data.duration": 2, "data.frame_size": 32,
+        "data.batch_size": 6,
+        "data.num_workers": 4,
+        "optim.learning_rate": 1e-4,
+        "train.epochs": 8,
+        "train.patience": 8,
+        "train.validation_freq": 0,
+        "train.log_every_steps": 0,
+        "augment.enabled": False,
+        "augment.horizontal_flip_prob": 0.0,
+        "augment.blur_sigma": 0.0,
+    })
+    tr = Trainer(cfg, train, val, run_dir=str(tmp_path / "run_vivit"))
+    hist = tr.train()
+    df = hist.to_dataframe()
+    assert df["train_accuracy"].iloc[-1] > 0.6, df["train_accuracy"].tolist()
+    assert df["train_loss"].iloc[-1] < df["train_loss"].iloc[0]
+
+
 def test_training_survives_corrupt_clips(datasets, tmp_path):
     train, val, _ = datasets
     # inject broken records into a copy of the train set

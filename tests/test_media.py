@@ -166,3 +166,43 @@ class TestSynthetic:
         collision = df[df["video_type"] == "Collision"].iloc[0]
         _, peak_g = peak_acceleration_time(collision["sensor_path"])
         assert peak_g > 2.0
+
+
+class TestVideoWriter:
+    def test_streaming_matches_oneshot(self, tmp_path):
+        """Chunked appends through VideoWriter produce the same stream a
+        one-shot encode_video produces (same codec path), decodable with
+        the same frame count and content."""
+        from vision_collision_detection_tpu.media.decoder import (
+            VideoWriter,
+            decode_frames,
+            encode_video,
+            probe,
+        )
+
+        rng = np.random.default_rng(11)
+        frames = (rng.random((12, 48, 64, 3)) * 255).astype(np.uint8)
+        one = str(tmp_path / "one.mp4")
+        chunked = str(tmp_path / "chunked.mp4")
+        encode_video(one, frames, fps=6.0)
+        with VideoWriter(chunked, w=64, h=48, fps=6.0) as vw:
+            vw.append(frames[:5])
+            vw.append(frames[5:11])
+            vw.append(frames[11])  # single-frame [H,W,3] form
+        assert vw.frames_written == 12
+        assert probe(chunked).num_frames == 12
+        a = decode_frames(one, list(range(12)))
+        b = decode_frames(chunked, list(range(12)))
+        np.testing.assert_array_equal(a, b)
+
+    def test_closed_writer_rejects_append(self, tmp_path):
+        from vision_collision_detection_tpu.media.decoder import (
+            MediaError,
+            VideoWriter,
+        )
+
+        vw = VideoWriter(str(tmp_path / "x.mp4"), w=32, h=32, fps=5.0)
+        vw.append(np.zeros((2, 32, 32, 3), np.uint8))
+        vw.close()
+        with pytest.raises(MediaError):
+            vw.append(np.zeros((1, 32, 32, 3), np.uint8))

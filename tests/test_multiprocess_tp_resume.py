@@ -1,0 +1,294 @@
+"""Multi-process TP + kill-and-resume (round-4 review items).
+
+Extends tests/test_multiprocess.py's real 2-process ``jax.distributed``
+coverage to the two paths it did not exercise:
+
+1. ``ModelParallelStrategy`` on a 2-process x 2-local-device mesh
+   (('data':2,'model':2) — the model axis lives INSIDE each process, the
+   data axis crosses processes, i.e. the TP-inside / DP-across layout a
+   real pod uses so model collectives ride the fastest links).
+2. A kill-and-resume cycle: both processes hard-exit (os._exit, no
+   cleanup) right after the epoch-1 checkpoint lands mid-run, fresh
+   processes resume from the shared run dir, and the final parameters are
+   asserted BITWISE identical to an uninterrupted run — resume must be a
+   no-op for training semantics, not "roughly continues". Determinism
+   holds because the per-step dropout key derives statelessly from
+   (seed, epoch, step, process) — trainer.py:422 — and the loader order
+   is epoch-seeded.
+
+Reference anchor: the gather/trim design at
+/root/reference/nexar_complete_with_validation.py:838-900 and torchrun's
+restart-from-checkpoint workflow (reference run scripts).
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_PRELUDE = r"""
+import json, os, sys
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=2"
+).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+sys.path.insert(0, os.environ["VCD_REPO"])
+
+from vision_collision_detection_tpu.parallel.mesh import (
+    maybe_initialize_distributed,
+)
+
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.environ["VCD_REPO"], ".test_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+maybe_initialize_distributed()
+
+import numpy as np
+
+assert jax.process_count() == 2, jax.process_count()
+assert len(jax.devices()) == 4
+"""
+
+TP_WORKER = _PRELUDE + r"""
+import jax.numpy as jnp
+import optax
+
+from vision_collision_detection_tpu.config import ExperimentConfig, MeshConfig
+from vision_collision_detection_tpu.models import build_model
+from vision_collision_detection_tpu.parallel import create_mesh
+from vision_collision_detection_tpu.parallel.mesh import sync_global_devices
+from vision_collision_detection_tpu.parallel.tp import ModelParallelStrategy
+from vision_collision_detection_tpu.train.steps import TrainState
+
+# data axis across processes, model axis within each process
+mesh = create_mesh(MeshConfig(num_data=2, num_model=2))
+strategy = ModelParallelStrategy(mesh)
+
+cfg = ExperimentConfig().override({
+    "model.backbone": "vivit_tiny",
+    "model.patch_size": 8,
+    "model.dtype": "float32",
+    "model.dropout": 0.0,
+    "data.fps": 2, "data.duration": 1, "data.frame_size": 32,
+    "optim.optimizer": "sgd",
+    "augment.enabled": False, "augment.horizontal_flip_prob": 0.0,
+    "augment.blur_sigma": 0.0,
+})
+model = build_model(cfg.model)
+variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
+    {"params": jax.random.PRNGKey(0)},
+    jnp.zeros((1, 2, 32, 32, 3), jnp.float32),
+)
+state = strategy.shard_state(TrainState.create(
+    apply_fn=model.apply, params=variables["params"],
+    batch_stats=variables.get("batch_stats", {}),
+    tx=optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-3)),
+))
+train_step, _ = strategy.make_steps(model, cfg, None)
+
+# identical GLOBAL batch on every process; device_put scatters each
+# process's addressable shards
+B = 4
+rng = np.random.default_rng(3)
+frames = jax.device_put((rng.random((B, 2, 32, 32, 3)) * 255).astype(np.uint8),
+                        strategy.data_sharding)
+targets = jax.device_put((np.arange(B) % 3).astype(np.int64),
+                         strategy.data_sharding)
+mask = jax.device_put(np.ones(B, np.float32), strategy.data_sharding)
+
+losses = []
+for i in range(3):
+    state, metrics = train_step(state, frames, targets, mask,
+                                jax.random.PRNGKey(i))
+    losses.append(float(metrics["loss"]))
+
+q = state.params["spatial_0"]["attn"]["query"]["kernel"]
+assert not q.sharding.is_fully_replicated, "TP params degenerated"
+spec = tuple(str(s) for s in q.sharding.spec)
+sync_global_devices("tp_done")
+
+with open(os.path.join(os.environ["VCD_OUT"],
+                       f"tp_p{jax.process_index()}.json"), "w") as f:
+    json.dump({"process": jax.process_index(), "losses": losses,
+               "query_spec": spec}, f)
+"""
+
+RESUME_WORKER = _PRELUDE + r"""
+import pandas as pd
+
+from vision_collision_detection_tpu.config import ExperimentConfig
+from vision_collision_detection_tpu.data import create_datasets_with_manual_split
+from vision_collision_detection_tpu.parallel.dp import DataParallelStrategy
+from vision_collision_detection_tpu.parallel.mesh import sync_global_devices
+from vision_collision_detection_tpu.train import Trainer
+
+df = pd.read_csv(os.environ["VCD_CSV"]).fillna({"sensor_path": ""})
+train, val, test = create_datasets_with_manual_split(
+    df, fps=4, duration=1, frame_size=32,
+)
+
+cfg = ExperimentConfig().override({
+    "model.backbone": "resnet18",
+    "model.temporal_mode": "pooling",
+    "model.dtype": "float32",
+    "model.dropout": 0.1,  # exercises the stateless per-step key path
+    "data.fps": 4, "data.duration": 1, "data.frame_size": 32,
+    "data.batch_size": 1,
+    "data.num_workers": 2,
+    "train.epochs": 2,
+    "train.resume": os.environ.get("VCD_RESUME", "") == "1",
+    "train.validation_freq": 0,
+    "train.log_every_steps": 0,
+    "train.dashboard": False,
+    "augment.enabled": False,
+    "augment.horizontal_flip_prob": 0.0,
+    "augment.blur_sigma": 0.0,
+})
+
+run_dir = os.path.join(os.environ["VCD_OUT"], os.environ["VCD_RUN"])
+tr = Trainer(cfg, train, val, test, run_dir=run_dir,
+             strategy=DataParallelStrategy())
+
+die_after = int(os.environ.get("VCD_DIE_AFTER_SAVE", "0"))
+if die_after:
+    orig_save = tr._save
+    saves = {"last": 0}
+
+    def killing_save(role, epoch):
+        orig_save(role, epoch)
+        if role == "last":
+            saves["last"] += 1
+            if saves["last"] >= die_after:
+                # hard exit mid-run: no finalizers, no barriers — a kill
+                os._exit(9)
+
+    tr._save = killing_save
+
+if os.environ.get("VCD_RESUME", "") == "1":
+    assert tr.start_epoch == 1, tr.start_epoch  # resumed, not restarted
+
+tr.train()
+sync_global_devices("train_done")
+
+import hashlib
+import numpy as np
+import jax
+
+h = hashlib.sha256()
+for path, leaf in sorted(
+        jax.tree_util.tree_flatten_with_path(tr.state.params)[0],
+        key=lambda kv: str(kv[0])):
+    h.update(str(path).encode())
+    h.update(np.ascontiguousarray(np.asarray(leaf)).tobytes())
+
+with open(os.path.join(os.environ["VCD_OUT"],
+                       f"{os.environ['VCD_TAG']}_p{jax.process_index()}.json"),
+          "w") as f:
+    json.dump({"process": jax.process_index(),
+               "params_sha": h.hexdigest(),
+               "start_epoch": tr.start_epoch,
+               "final_step": int(tr.state.step)}, f)
+"""
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _run_wave(worker_text, tmp_path, extra_env, expect_rc=(0, 0),
+              timeout=2100):
+    worker_py = tmp_path / "worker.py"
+    worker_py.write_text(worker_text)
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = dict(
+            os.environ,
+            COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+            NUM_PROCESSES="2",
+            PROCESS_ID=str(pid),
+            VCD_REPO=REPO,
+            VCD_OUT=str(tmp_path),
+            **extra_env,
+        )
+        procs.append(subprocess.Popen(
+            [sys.executable, str(worker_py)], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        ))
+    try:
+        outs = [p.communicate(timeout=timeout)[0].decode() for p in procs]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p, o, want in zip(procs, outs, expect_rc):
+        assert p.returncode == want, (
+            f"worker rc={p.returncode} (wanted {want}):\n{o[-4000:]}")
+    return outs
+
+
+@pytest.mark.slow
+def test_two_process_tensor_parallel_step(tmp_path):
+    _run_wave(TP_WORKER, tmp_path, {})
+    results = []
+    for pid in range(2):
+        with open(tmp_path / f"tp_p{pid}.json") as f:
+            results.append(json.load(f))
+    r0, r1 = results
+    # psum'd loss identical on both processes, finite, and decreasing-ish
+    assert r0["losses"] == pytest.approx(r1["losses"], rel=1e-6)
+    assert all(abs(l) < 1e4 for l in r0["losses"])
+    # the query kernel really is split on the model axis
+    assert "model" in r0["query_spec"], r0["query_spec"]
+
+
+@pytest.mark.slow
+def test_two_process_kill_and_resume_bitwise(tmp_path):
+    from vision_collision_detection_tpu.media.synthetic import generate_dataset
+
+    csv = generate_dataset(
+        str(tmp_path / "synth"), clips_per_class=6, num_frames=8, height=40,
+        width=56, splits=("train", "train", "train", "train", "val", "test"),
+    )
+    base = {"VCD_CSV": str(csv)}
+
+    # wave A: uninterrupted 2-epoch run (the oracle)
+    _run_wave(RESUME_WORKER, tmp_path,
+              dict(base, VCD_RUN="run_a", VCD_TAG="a"))
+
+    # wave B1: same config, both processes HARD-KILL themselves right after
+    # the epoch-1 'last' checkpoint is written (rc 9, no results file)
+    _run_wave(RESUME_WORKER, tmp_path,
+              dict(base, VCD_RUN="run_b", VCD_TAG="b_dead",
+                   VCD_DIE_AFTER_SAVE="1"),
+              expect_rc=(9, 9))
+    assert not (tmp_path / "b_dead_p0.json").exists()
+
+    # wave B2: fresh processes resume run_b and finish epoch 2
+    _run_wave(RESUME_WORKER, tmp_path,
+              dict(base, VCD_RUN="run_b", VCD_TAG="b", VCD_RESUME="1"))
+
+    recs = {}
+    for tag in ("a", "b"):
+        for pid in range(2):
+            with open(tmp_path / f"{tag}_p{pid}.json") as f:
+                recs[(tag, pid)] = json.load(f)
+
+    # identical across processes
+    assert recs[("a", 0)]["params_sha"] == recs[("a", 1)]["params_sha"]
+    assert recs[("b", 0)]["params_sha"] == recs[("b", 1)]["params_sha"]
+    # resumed == uninterrupted, bitwise
+    assert recs[("b", 0)]["params_sha"] == recs[("a", 0)]["params_sha"]
+    assert recs[("b", 0)]["final_step"] == recs[("a", 0)]["final_step"]
+    assert recs[("b", 0)]["start_epoch"] == 1  # proved it resumed

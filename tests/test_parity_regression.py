@@ -21,9 +21,12 @@ from parity_harness import run_parity  # noqa: E402
 
 
 @pytest.mark.slow
-def test_pipeline_parity_within_auc_budget(tmp_path):
+@pytest.mark.parametrize("temporal_mode", ["gru", "attention"])
+def test_pipeline_parity_within_auc_budget(tmp_path, temporal_mode):
+    """Two structurally different heads (recurrent scan vs transformer
+    block) so head-path drift can't hide behind a single-head regression."""
     out = run_parity(
-        backbone="resnet18", temporal_mode="gru",
+        backbone="resnet18", temporal_mode=temporal_mode,
         clips_per_class=3, frame_size=96, fps=5, duration=1,
         head_train_steps=80, workdir=str(tmp_path),
         height=180, width=320, batch_size=3, num_workers=2,

@@ -83,3 +83,39 @@ def test_non_attention_model_raises():
     variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
     with pytest.raises(ValueError):
         extract_attention_weights(model, variables, x)
+
+
+class TestResultCards:
+    RESULTS = [
+        {"id": "clip_a", "video_path": "/x/clip_a.mp4", "success": True,
+         "predicted_class": "Collision", "confidence": 0.8,
+         "probabilities": {"Normal": 0.1, "Near Collision": 0.1,
+                           "Collision": 0.8}},
+        {"id": "clip_b", "success": False, "error": "decode failed"},
+    ]
+
+    def test_render_result_card(self):
+        from vision_collision_detection_tpu.obs.viz import render_result_card
+
+        fig = render_result_card(self.RESULTS[0])
+        # 2 patches per class bar (track + fill)
+        assert len(fig.axes[0].patches) == 6
+        texts = [t.get_text() for t in fig.axes[0].texts]
+        assert any("Predicted: Collision" in t for t in texts)
+        assert any("80.0%" in t for t in texts)
+
+    def test_render_error_card(self):
+        from vision_collision_detection_tpu.obs.viz import render_result_card
+
+        fig = render_result_card(self.RESULTS[1])
+        texts = [t.get_text() for t in fig.axes[0].texts]
+        assert any("decode failed" in t for t in texts)
+
+    def test_browse_results_fallback(self):
+        """Without ipywidgets installed the browser degrades to one card
+        per result."""
+        from vision_collision_detection_tpu.obs import viz
+
+        out = viz.browse_results(self.RESULTS)
+        if isinstance(out, list):  # fallback path (no ipywidgets here)
+            assert len(out) == 2

@@ -30,6 +30,7 @@ BACKBONES = (
     "convnext_base",
     "convnext_large",
     # TPU-first scaled variant (BASELINE.json config 5): factorized video ViT.
+    "vivit_tiny",  # CI/dryrun preset
     "vivit_small",
     "vivit_base",
 )
@@ -246,6 +247,13 @@ class ExperimentConfig:
 
     @classmethod
     def from_dict(cls, d: Mapping[str, Any]) -> "ExperimentConfig":
+        # Back-compat: checkpoints saved before gelu_approximate existed
+        # were trained with erf-GELU (the old behavior). Reconstructing
+        # them must not silently pick up the new tanh default — evaluate
+        # with the numerics they were trained with.
+        if "model" in d and "gelu_approximate" not in d["model"]:
+            d = dict(d)
+            d["model"] = dict(d["model"], gelu_approximate=False)
         return _dataclass_from_dict(cls, d)
 
     @classmethod
@@ -285,6 +293,20 @@ class ExperimentConfig:
             )
         if self.data.num_classes != self.model.num_classes:
             raise ValueError("data.num_classes must match model.num_classes")
+        if self.augment.affine_mode == "separable":
+            # The two-pass matmul warp factors through 1/m11 ∝
+            # 1/cos(rotation+shear) (ops/affine.py:123-126); keep the
+            # sampled angles far from the ±90° singularity. Reference
+            # ranges are ±7°/±2°; 45° leaves a 2× margin on the
+            # conditioning while catching misconfiguration.
+            worst = (max(abs(a) for a in self.augment.rotation_range)
+                     + max(abs(s) for s in self.augment.shear_range))
+            if worst > 45.0:
+                raise ValueError(
+                    f"rotation+shear up to {worst:.1f}° exceeds the "
+                    "separable warp's valid regime (|rot+shear| ≤ 45°); "
+                    "set augment.affine_mode='gather' for extreme angles"
+                )
 
 
 def _json_default(o):

@@ -433,6 +433,17 @@ class CollisionPredictor:
 
     # ------------------------------------------------------------------
     @staticmethod
+    def display_results_widget(results: List[Dict]):
+        """Notebook browsing mode: matplotlib result cards behind an
+        ipywidgets clip selector (the reference's fancy widget,
+        /root/reference/nexar_inference.py:410-504). Degrades to
+        sequential cards without ipywidgets; use ``display_results`` for
+        terminal ANSI bars."""
+        from vision_collision_detection_tpu.obs.viz import browse_results
+
+        return browse_results(results)
+
+    @staticmethod
     def display_results(results: List[Dict], width: int = 40) -> str:
         """ANSI bar chart per clip (reference :376-408); returns the text."""
         lines = []

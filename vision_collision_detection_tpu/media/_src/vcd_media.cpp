@@ -42,6 +42,9 @@ extern "C" {
 #if defined(__SSE4_1__) && defined(__FMA__)
 #include <immintrin.h>
 #define VCD_SIMD_RESIZE 1
+#if defined(__AVX512F__) && defined(__AVX512BW__)
+#define VCD_AVX512_RESIZE 1
+#endif
 #endif
 
 static thread_local std::string g_last_error;
@@ -297,26 +300,75 @@ AAFilter make_aa_filter(int in_size, int out_size) {
 // torch-parity tests (tests/test_content_box.py::
 // test_cpp_resampler_matches_torch_antialias) pin this.
 //
-// Contract: each src row must be readable for sw*3 + 1 bytes (the 4-byte
-// pixel load of the last tap reads one byte past the row). native_rgb's
-// 64-byte-aligned stride + 64-byte tail slack satisfies this.
+// Contract: each src row must be readable for sw*3 + 4 bytes (the AVX-512
+// 16-byte group load reads up to 4 bytes past the last tap's pixel; the
+// SSE path reads 1). native_rgb's 64-byte-aligned stride + 64-byte tail
+// slack satisfies this.
 void resize_bilinear_aa(const unsigned char* src, int sh, int sw,
                         size_t src_stride, unsigned char* dst, int dh, int dw,
                         const AAFilter& fx, const AAFilter& fy,
                         std::vector<float>& tmp) {
   (void)sw;
   const size_t row_elems = (size_t)dw * 4;
-  tmp.resize((size_t)sh * row_elems + row_elems);  // + one scratch row
-  float* rowbuf = tmp.data() + (size_t)sh * row_elems;
+  // Tiled ring of horizontally-resampled rows: the naive two-pass layout
+  // streams a full [sh, dw, 4] float intermediate through HBM and the
+  // vertical pass re-reads it ksize times (~12 MB/frame at 720p→224 —
+  // memory-bound). The ring holds only the fy.ksize rows the current
+  // output row needs (~50 KB, cache-resident); every source row is still
+  // resampled exactly once (fy.xmin is monotonic), and per-element
+  // accumulation order is unchanged, so output is bit-identical.
+  const int ring = std::max(1, fy.ksize);
+  tmp.resize((size_t)ring * row_elems + row_elems);
+  float* rowbuf = tmp.data() + (size_t)ring * row_elems;
 
-  for (int y = 0; y < sh; y++) {  // horizontal pass: u8 RGB → f32 RGBx
+  int next_src = 0;  // next source row not yet horizontally resampled
+
+  auto hpass_row = [&](int y) {  // u8 RGB row → f32 RGBx ring slot
     const unsigned char* srow = src + (size_t)y * src_stride;
-    float* trow = tmp.data() + (size_t)y * row_elems;
+    float* trow = tmp.data() + (size_t)(y % ring) * row_elems;
     for (int x = 0; x < dw; x++) {
       const float* w = &fx.weights[(size_t)x * fx.ksize];
       const unsigned char* p = srow + (size_t)fx.xmin[x] * 3;
       const int n = fx.xsize[x];
-#ifdef VCD_SIMD_RESIZE
+#if defined(VCD_AVX512_RESIZE)
+      // 4 taps per iteration in one zmm: 16 source bytes shuffled into
+      // four RGBx byte groups, widened u8→f32, fmadd'd against the
+      // per-tap weights broadcast into the matching 4-lane groups. One
+      // fmadd covers 4 taps (vs 4 with the SSE path). The 4-group
+      // pairwise combine reorders the float sum — a 1e-7-level
+      // perturbation, far inside the torch-parity budget and the uint8
+      // rounding margin.
+      const __m128i SHUF = _mm_setr_epi8(0, 1, 2, -1, 3, 4, 5, -1,
+                                         6, 7, 8, -1, 9, 10, 11, -1);
+      const __m512i WIDX = _mm512_setr_epi32(0, 0, 0, 0, 1, 1, 1, 1,
+                                             2, 2, 2, 2, 3, 3, 3, 3);
+      __m512 acc4 = _mm512_setzero_ps();
+      __m128 acc = _mm_setzero_ps();
+      int k = 0;
+      for (; k + 4 <= n; k += 4, p += 12) {
+        // reads up to 4 bytes past the last tap's pixel (row slack
+        // contract below)
+        __m128i raw = _mm_loadu_si128((const __m128i*)p);
+        __m512 pix = _mm512_cvtepi32_ps(
+            _mm512_cvtepu8_epi32(_mm_shuffle_epi8(raw, SHUF)));
+        __m512 wv = _mm512_permutexvar_ps(
+            WIDX, _mm512_castps128_ps512(_mm_loadu_ps(w + k)));
+        acc4 = _mm512_fmadd_ps(wv, pix, acc4);
+      }
+      for (; k < n; k++, p += 3) {
+        int four;
+        std::memcpy(&four, p, 4);
+        __m128 pix =
+            _mm_cvtepi32_ps(_mm_cvtepu8_epi32(_mm_cvtsi32_si128(four)));
+        acc = _mm_fmadd_ps(_mm_set1_ps(w[k]), pix, acc);
+      }
+      __m256 lo = _mm512_castps512_ps256(acc4);
+      __m256 hi = _mm512_extractf32x8_ps(acc4, 1);
+      __m256 s = _mm256_add_ps(lo, hi);
+      acc = _mm_add_ps(acc, _mm_add_ps(_mm256_castps256_ps128(s),
+                                       _mm256_extractf128_ps(s, 1)));
+      _mm_storeu_ps(trow + (size_t)x * 4, acc);
+#elif defined(VCD_SIMD_RESIZE)
       // Four independent accumulators hide the FMA latency chain (a single
       // accumulator serializes at ~4 cycles/tap); the pairwise combine at
       // the end reorders the float sum, which only perturbs the result at
@@ -352,20 +404,22 @@ void resize_bilinear_aa(const unsigned char* src, int sh, int sw,
       trow[x * 4 + 3] = 0.f;
 #endif
     }
-  }
+  };
 
-  for (int y = 0; y < dh; y++) {  // vertical pass: axpy over RGBx rows
+  for (int y = 0; y < dh; y++) {  // vertical pass: axpy over ring rows
     const float* w = &fy.weights[(size_t)y * fy.ksize];
-    const float* tbase = tmp.data() + (size_t)fy.xmin[y] * row_elems;
+    const int lo = fy.xmin[y];
     const int n = fy.xsize[y];
+    while (next_src < lo + n && next_src < sh) hpass_row(next_src++);
     {
       const float w0 = w[0];
-      for (size_t j = 0; j < row_elems; j++) rowbuf[j] = w0 * tbase[j];
+      const float* s0 = tmp.data() + (size_t)(lo % ring) * row_elems;
+      for (size_t j = 0; j < row_elems; j++) rowbuf[j] = w0 * s0[j];
     }
     for (int k = 1; k < n; k++) {
       const float wk = w[k];
-      const float* srck = tbase + (size_t)k * row_elems;
-      for (size_t j = 0; j < row_elems; j++) rowbuf[j] += wk * srck[j];
+      const float* sk = tmp.data() + (size_t)((lo + k) % ring) * row_elems;
+      for (size_t j = 0; j < row_elems; j++) rowbuf[j] += wk * sk[j];
     }
     unsigned char* drow = dst + (size_t)y * dw * 3;
     for (int x = 0; x < dw; x++) {  // quantize RGBx → packed RGB u8
@@ -684,111 +738,152 @@ long vcd_decode_batch(const char** paths, long n_clips, const long* indices,
 }
 
 // ---------------------------------------------------------------------------
-// Encode: RGB24 frames -> MP4 (native mpeg4 encoder; no external x264 dep).
-// frames: n * h * w * 3 bytes. Returns 0 on success.
+// Streaming encode: open → append chunks → close. Bounded memory for
+// arbitrarily long videos (the batch vcd_encode below wraps this for the
+// one-shot case). RGB24 in, MP4/mpeg4/yuv420p out.
 // ---------------------------------------------------------------------------
-int vcd_encode(const char* path, const unsigned char* frames, long n, int w,
-               int h, double fps) {
+struct VcdEncoder {
+  AVFormatContext* fmt = nullptr;
+  AVCodecContext* enc = nullptr;
+  AVStream* stream = nullptr;
+  SwsContext* sws = nullptr;
+  AVFrame* yuv = nullptr;
+  AVPacket* pkt = nullptr;
+  long next_pts = 0;
+  int w = 0, h = 0;
+};
+
+static void encoder_free(VcdEncoder* e) {
+  if (!e) return;
+  if (e->pkt) av_packet_free(&e->pkt);
+  if (e->yuv) av_frame_free(&e->yuv);
+  if (e->sws) sws_freeContext(e->sws);
+  if (e->enc) avcodec_free_context(&e->enc);
+  if (e->fmt) {
+    if (!(e->fmt->oformat->flags & AVFMT_NOFILE) && e->fmt->pb)
+      avio_closep(&e->fmt->pb);
+    avformat_free_context(e->fmt);
+  }
+  delete e;
+}
+
+static bool encoder_drain(VcdEncoder* e) {
+  while (true) {
+    int r2 = avcodec_receive_packet(e->enc, e->pkt);
+    if (r2 == AVERROR(EAGAIN) || r2 == AVERROR_EOF) break;
+    if (r2 < 0) return false;
+    av_packet_rescale_ts(e->pkt, e->enc->time_base, e->stream->time_base);
+    e->pkt->stream_index = e->stream->index;
+    av_interleaved_write_frame(e->fmt, e->pkt);
+    av_packet_unref(e->pkt);
+  }
+  return true;
+}
+
+void* vcd_encode_open(const char* path, int w, int h, double fps) {
   if (w % 2 || h % 2) {
     set_error("encode requires even dimensions (yuv420p)");
-    return -1;
+    return nullptr;
   }
-  AVFormatContext* fmt = nullptr;
-  int ret = avformat_alloc_output_context2(&fmt, nullptr, nullptr, path);
-  if (ret < 0 || !fmt) {
+  VcdEncoder* e = new VcdEncoder();
+  e->w = w;
+  e->h = h;
+  int ret = avformat_alloc_output_context2(&e->fmt, nullptr, nullptr, path);
+  if (ret < 0 || !e->fmt) {
     set_error("alloc_output_context failed: " + av_err(ret));
-    return -1;
+    encoder_free(e);
+    return nullptr;
   }
   const AVCodec* codec = avcodec_find_encoder(AV_CODEC_ID_MPEG4);
   if (!codec) {
     set_error("mpeg4 encoder unavailable");
-    avformat_free_context(fmt);
-    return -1;
+    encoder_free(e);
+    return nullptr;
   }
-  AVStream* stream = avformat_new_stream(fmt, nullptr);
-  AVCodecContext* enc = avcodec_alloc_context3(codec);
-  enc->width = w;
-  enc->height = h;
-  enc->pix_fmt = AV_PIX_FMT_YUV420P;
+  e->stream = avformat_new_stream(e->fmt, nullptr);
+  e->enc = avcodec_alloc_context3(codec);
+  e->enc->width = w;
+  e->enc->height = h;
+  e->enc->pix_fmt = AV_PIX_FMT_YUV420P;
   AVRational fr = av_d2q(fps, 1000000);
-  enc->time_base = av_inv_q(fr);
-  enc->framerate = fr;
-  enc->bit_rate = (int64_t)w * h * 8;  // generous for synthetic content
-  enc->gop_size = 12;                  // frequent keyframes → cheap seeks
-  if (fmt->oformat->flags & AVFMT_GLOBALHEADER)
-    enc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
-
-  auto fail = [&](const std::string& msg) {
+  e->enc->time_base = av_inv_q(fr);
+  e->enc->framerate = fr;
+  e->enc->bit_rate = (int64_t)w * h * 8;
+  e->enc->gop_size = 12;  // frequent keyframes → cheap seeks
+  if (e->fmt->oformat->flags & AVFMT_GLOBALHEADER)
+    e->enc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+  auto fail = [&](const std::string& msg) -> void* {
     set_error(msg);
-    avcodec_free_context(&enc);
-    if (fmt && !(fmt->oformat->flags & AVFMT_NOFILE) && fmt->pb)
-      avio_closep(&fmt->pb);
-    avformat_free_context(fmt);
-    return -1;
+    encoder_free(e);
+    return nullptr;
   };
-
-  if ((ret = avcodec_open2(enc, codec, nullptr)) < 0)
+  if ((ret = avcodec_open2(e->enc, codec, nullptr)) < 0)
     return fail("encoder open failed: " + av_err(ret));
-  avcodec_parameters_from_context(stream->codecpar, enc);
-  stream->time_base = enc->time_base;
-  stream->avg_frame_rate = fr;
-
-  if (!(fmt->oformat->flags & AVFMT_NOFILE)) {
-    if ((ret = avio_open(&fmt->pb, path, AVIO_FLAG_WRITE)) < 0)
+  avcodec_parameters_from_context(e->stream->codecpar, e->enc);
+  e->stream->time_base = e->enc->time_base;
+  e->stream->avg_frame_rate = fr;
+  if (!(e->fmt->oformat->flags & AVFMT_NOFILE)) {
+    if ((ret = avio_open(&e->fmt->pb, path, AVIO_FLAG_WRITE)) < 0)
       return fail("avio_open failed: " + av_err(ret));
   }
-  if ((ret = avformat_write_header(fmt, nullptr)) < 0)
+  if ((ret = avformat_write_header(e->fmt, nullptr)) < 0)
     return fail("write_header failed: " + av_err(ret));
+  e->sws = sws_getContext(w, h, AV_PIX_FMT_RGB24, w, h, AV_PIX_FMT_YUV420P,
+                          SWS_BILINEAR, nullptr, nullptr, nullptr);
+  e->yuv = av_frame_alloc();
+  e->yuv->format = AV_PIX_FMT_YUV420P;
+  e->yuv->width = w;
+  e->yuv->height = h;
+  av_frame_get_buffer(e->yuv, 0);
+  e->pkt = av_packet_alloc();
+  return e;
+}
 
-  SwsContext* sws = sws_getContext(w, h, AV_PIX_FMT_RGB24, w, h,
-                                   AV_PIX_FMT_YUV420P, SWS_BILINEAR, nullptr,
-                                   nullptr, nullptr);
-  AVFrame* yuv = av_frame_alloc();
-  yuv->format = AV_PIX_FMT_YUV420P;
-  yuv->width = w;
-  yuv->height = h;
-  av_frame_get_buffer(yuv, 0);
-  AVPacket* pkt = av_packet_alloc();
-
-  auto drain = [&]() {
-    while (true) {
-      int r2 = avcodec_receive_packet(enc, pkt);
-      if (r2 == AVERROR(EAGAIN) || r2 == AVERROR_EOF) break;
-      if (r2 < 0) return false;
-      av_packet_rescale_ts(pkt, enc->time_base, stream->time_base);
-      pkt->stream_index = stream->index;
-      av_interleaved_write_frame(fmt, pkt);
-      av_packet_unref(pkt);
-    }
-    return true;
-  };
-
-  int rc = 0;
+// frames: n * h * w * 3 bytes appended in display order. Returns 0 on
+// success, -1 on error (encoder left usable for close).
+int vcd_encode_append(void* handle, const unsigned char* frames, long n) {
+  VcdEncoder* e = (VcdEncoder*)handle;
+  if (!e) {
+    set_error("null encoder handle");
+    return -1;
+  }
   for (long i = 0; i < n; i++) {
-    av_frame_make_writable(yuv);
-    const uint8_t* src_data[1] = {frames + (size_t)i * h * w * 3};
-    int src_linesize[1] = {w * 3};
-    sws_scale(sws, src_data, src_linesize, 0, h, yuv->data, yuv->linesize);
-    yuv->pts = i;  // one tick per frame (time_base == 1/fps)
-    if (avcodec_send_frame(enc, yuv) < 0 || !drain()) {
-      set_error("encode failed at frame " + std::to_string(i));
-      rc = -1;
-      break;
+    av_frame_make_writable(e->yuv);
+    const uint8_t* src_data[1] = {frames + (size_t)i * e->h * e->w * 3};
+    int src_linesize[1] = {e->w * 3};
+    sws_scale(e->sws, src_data, src_linesize, 0, e->h, e->yuv->data,
+              e->yuv->linesize);
+    e->yuv->pts = e->next_pts++;  // one tick per frame (time_base == 1/fps)
+    if (avcodec_send_frame(e->enc, e->yuv) < 0 || !encoder_drain(e)) {
+      set_error("encode failed at frame " + std::to_string(e->next_pts));
+      return -1;
     }
   }
-  if (rc == 0) {
-    avcodec_send_frame(enc, nullptr);
-    drain();
-    av_write_trailer(fmt);
-  }
+  return 0;
+}
 
-  av_packet_free(&pkt);
-  av_frame_free(&yuv);
-  sws_freeContext(sws);
-  avcodec_free_context(&enc);
-  if (!(fmt->oformat->flags & AVFMT_NOFILE) && fmt->pb) avio_closep(&fmt->pb);
-  avformat_free_context(fmt);
-  return rc;
+// Flush, write trailer, free. Returns 0 on success.
+int vcd_encode_close(void* handle) {
+  VcdEncoder* e = (VcdEncoder*)handle;
+  if (!e) return 0;
+  avcodec_send_frame(e->enc, nullptr);
+  bool ok = encoder_drain(e);
+  av_write_trailer(e->fmt);
+  encoder_free(e);
+  return ok ? 0 : -1;
+}
+
+// ---------------------------------------------------------------------------
+// One-shot encode: RGB24 frames -> MP4 (wraps the streaming encoder).
+// frames: n * h * w * 3 bytes. Returns 0 on success.
+// ---------------------------------------------------------------------------
+int vcd_encode(const char* path, const unsigned char* frames, long n, int w,
+               int h, double fps) {
+  void* e = vcd_encode_open(path, w, h, fps);
+  if (!e) return -1;
+  int rc = vcd_encode_append(e, frames, n);
+  int rc2 = vcd_encode_close(e);
+  return rc != 0 ? rc : rc2;
 }
 
 }  // extern "C"

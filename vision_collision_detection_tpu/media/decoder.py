@@ -80,6 +80,18 @@ def _get_lib():
                     ctypes.c_double,
                 ]
                 lib.vcd_encode.restype = ctypes.c_int
+                lib.vcd_encode_open.argtypes = [
+                    ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+                    ctypes.c_double,
+                ]
+                lib.vcd_encode_open.restype = ctypes.c_void_p
+                lib.vcd_encode_append.argtypes = [
+                    ctypes.c_void_p, ctypes.POINTER(ctypes.c_ubyte),
+                    ctypes.c_long,
+                ]
+                lib.vcd_encode_append.restype = ctypes.c_int
+                lib.vcd_encode_close.argtypes = [ctypes.c_void_p]
+                lib.vcd_encode_close.restype = ctypes.c_int
                 lib.vcd_last_error.restype = ctypes.c_char_p
                 lib.vcd_profile_enable.argtypes = [ctypes.c_int]
                 lib.vcd_profile_reset.argtypes = []
@@ -257,3 +269,57 @@ def encode_video(path: str, frames: np.ndarray, fps: float = 10.0) -> None:
     )
     if rc != 0:
         raise MediaError(f"encode failed for {path}: {_last_error()}")
+
+
+class VideoWriter:
+    """Streaming MP4 writer: append frame chunks with bounded memory
+    (arbitrarily long videos — the one-shot ``encode_video`` needs the
+    whole array resident). Context-manager friendly:
+
+        with VideoWriter(path, w=1280, h=720, fps=10.0) as vw:
+            for chunk in frame_chunks:   # uint8 [n, H, W, 3]
+                vw.append(chunk)
+    """
+
+    def __init__(self, path: str, w: int, h: int, fps: float = 10.0):
+        self._lib = _get_lib()
+        self._handle = self._lib.vcd_encode_open(
+            path.encode(), int(w), int(h), float(fps))
+        if not self._handle:
+            raise MediaError(f"encoder open failed for {path}: "
+                             f"{_last_error()}")
+        self.path = path
+        self.w, self.h = int(w), int(h)
+        self.frames_written = 0
+
+    def append(self, frames: np.ndarray) -> None:
+        if self._handle is None:
+            raise MediaError("writer already closed")
+        frames = np.ascontiguousarray(frames, dtype=np.uint8)
+        if frames.ndim == 3:
+            frames = frames[None]
+        if frames.shape[1:] != (self.h, self.w, 3):
+            raise ValueError(
+                f"expected [n,{self.h},{self.w},3], got {frames.shape}")
+        rc = self._lib.vcd_encode_append(
+            self._handle,
+            frames.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            frames.shape[0],
+        )
+        if rc != 0:
+            raise MediaError(f"encode append failed: {_last_error()}")
+        self.frames_written += frames.shape[0]
+
+    def close(self) -> None:
+        if self._handle is not None:
+            rc = self._lib.vcd_encode_close(self._handle)
+            self._handle = None
+            if rc != 0:
+                raise MediaError(f"encoder close failed: {_last_error()}")
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False

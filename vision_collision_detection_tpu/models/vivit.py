@@ -112,6 +112,9 @@ class ViViT(nn.Module):
 
 
 _VIVIT_SIZES = {
+    # tiny: CI / dryrun preset — exercises the production construction path
+    # (config → build_vivit) at compile-in-seconds scale
+    "vivit_tiny": dict(dim=64, spatial_layers=2, temporal_layers=1, num_heads=4),
     "vivit_small": dict(dim=384, spatial_layers=8, temporal_layers=4, num_heads=6),
     "vivit_base": dict(dim=768, spatial_layers=12, temporal_layers=4, num_heads=12),
 }

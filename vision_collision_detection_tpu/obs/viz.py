@@ -165,3 +165,114 @@ def plot_attention_heatmap(attn: np.ndarray, out_path: str,
     fig.savefig(out_path, dpi=120)
     plt.close(fig)
     return out_path
+
+
+# ---------------------------------------------------------------------------
+# Interactive results browsing (notebook): matplotlib result cards + an
+# ipywidgets clip selector — the reference's fancy widget
+# (/root/reference/nexar_inference.py:410-504). Falls back cleanly when
+# matplotlib / ipywidgets are unavailable (headless hosts keep the ANSI
+# bars from infer.CollisionPredictor.display_results).
+# ---------------------------------------------------------------------------
+
+_CLASS_COLORS = {
+    "Normal": "#4CAF50",
+    "Near Collision": "#FF9800",
+    "Collision": "#F44336",
+}
+
+
+def render_result_card(result: Dict, ax=None, show: bool = False):
+    """One matplotlib 'analysis card' for a prediction result dict
+    (the reference's probability-bar figure, nexar_inference.py:434-504).
+
+    Returns the matplotlib Figure (caller may save or display it)."""
+    import matplotlib
+
+    if not show:
+        matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib import patches
+
+    if ax is None:
+        fig, ax = plt.subplots(figsize=(8, 4.5))
+    else:
+        fig = ax.figure
+    ax.set_facecolor("#F5F5F5")
+    ax.set_xlim(0, 1)
+    ax.set_ylim(0, 1)
+    ax.axis("off")
+
+    if not result.get("success", True):
+        ax.text(0.5, 0.5, f"ERROR: {result.get('error', 'unknown')}",
+                ha="center", fontsize=13, color="#F44336")
+        return fig
+
+    ax.text(0.5, 0.9, "Video Analysis Results", ha="center",
+            fontsize=15, fontweight="bold")
+    pred = result["predicted_class"]
+    ax.text(0.5, 0.8, f"Predicted: {pred}", ha="center", fontsize=13,
+            fontweight="bold", color=_CLASS_COLORS.get(pred, "#333333"))
+
+    ranked = sorted(result["probabilities"].items(), key=lambda kv: -kv[1])
+    y = 0.64
+    for cls, p in ranked:
+        color = _CLASS_COLORS.get(cls, "#999999")
+        ax.add_patch(patches.Rectangle((0.22, y - 0.04), 0.6, 0.08,
+                                       facecolor="#E0E0E0", alpha=0.5))
+        ax.add_patch(patches.Rectangle((0.22, y - 0.04),
+                                       max(0.01, p * 0.6), 0.08,
+                                       facecolor=color))
+        ax.text(0.20, y, cls, ha="right", va="center", fontsize=10,
+                fontweight="bold")
+        ax.text(0.84, y, f"{p * 100:.1f}%", ha="left", va="center",
+                fontsize=10)
+        y -= 0.14
+
+    meta = []
+    if result.get("video_path"):
+        meta.append(f"File: {os.path.basename(result['video_path'])}")
+    if result.get("id"):
+        meta.append(f"id: {result['id']}")
+    if meta:
+        ax.text(0.5, 0.08, " | ".join(meta), ha="center", fontsize=8,
+                color="#666666")
+    return fig
+
+
+def browse_results(results: List[Dict]):
+    """Interactive notebook browser over prediction results: an ipywidgets
+    dropdown selects the clip, the card re-renders on change (the
+    reference's Jupyter browsing mode). Outside a notebook (or without
+    ipywidgets) renders every card sequentially instead.
+
+    Returns the widget container, or the list of figures in fallback
+    mode."""
+    try:
+        import ipywidgets as widgets
+        from IPython.display import display
+    except ImportError:
+        return [render_result_card(r, show=True) for r in results]
+
+    import matplotlib.pyplot as plt
+
+    names = [
+        r.get("id") or os.path.basename(r.get("video_path", f"clip {i}"))
+        for i, r in enumerate(results)
+    ]
+    dd = widgets.Dropdown(options=list(zip(names, range(len(results)))),
+                          description="clip")
+    out = widgets.Output()
+
+    def _render(idx: int) -> None:
+        with out:
+            out.clear_output(wait=True)
+            fig = render_result_card(results[idx], show=True)
+            display(fig)
+            plt.close(fig)
+
+    dd.observe(lambda ch: _render(ch["new"]), names="value")
+    box = widgets.VBox([dd, out])
+    display(box)
+    _render(0)
+    return box

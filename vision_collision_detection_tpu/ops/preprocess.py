@@ -30,14 +30,23 @@ def train_preprocess(key, frames_u8, cfg: AugmentConfig, target_size: int,
     Called inline from the jitted train step so decode output → augmented
     bf16 → forward is ONE XLA program with no HBM round-trip.
     """
-    x = frames_u8.astype(jnp.float32) / 255.0
-    x = letterbox_resize(x, target_size)
-    b = x.shape[0]
+    b = frames_u8.shape[0]
     k_flip, k_aug = jax.random.split(key)
+    flip = None
     if cfg.horizontal_flip_prob > 0:
         flip = jax.random.bernoulli(
             k_flip, cfg.horizontal_flip_prob, (b, 1, 1, 1, 1)
         )
+    # Flip on the UINT8 tensor when the width needs no padding (the
+    # content-box/pre-sized path): same result as the reference's
+    # post-letterbox hflip, at 1/4 the bytes — the float-tensor reverse
+    # showed up at ~2 ms/step in PROFILE_r03.
+    flip_u8 = flip is not None and frames_u8.shape[-2] == target_size
+    if flip_u8:
+        frames_u8 = jnp.where(flip, frames_u8[:, :, :, ::-1, :], frames_u8)
+    x = frames_u8.astype(jnp.float32) / 255.0
+    x = letterbox_resize(x, target_size)
+    if flip is not None and not flip_u8:
         x = jnp.where(flip, x[:, :, :, ::-1, :], x)
     if cfg.enabled:
         x = augment_batch(k_aug, x, cfg)
