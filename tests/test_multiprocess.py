@@ -127,27 +127,42 @@ def test_two_process_dp_train_eval(tmp_path):
     worker_py = tmp_path / "worker.py"
     worker_py.write_text(WORKER)
 
-    procs = []
-    for pid in range(2):
-        env = dict(
-            os.environ,
-            COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
-            NUM_PROCESSES="2",
-            PROCESS_ID=str(pid),
-            VCD_REPO=REPO,
-            VCD_CSV=str(csv),
-            VCD_OUT=str(tmp_path),
-        )
-        procs.append(subprocess.Popen(
-            [sys.executable, str(worker_py)], env=env,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-        ))
-    try:
-        outs = [p.communicate(timeout=2100)[0].decode() for p in procs]
-    finally:
-        for p in procs:
-            if p.poll() is None:
-                p.kill()
+    def run_wave():
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            wave_port = s.getsockname()[1]
+        procs = []
+        for pid in range(2):
+            env = dict(
+                os.environ,
+                COORDINATOR_ADDRESS=f"127.0.0.1:{wave_port}",
+                NUM_PROCESSES="2",
+                PROCESS_ID=str(pid),
+                VCD_REPO=REPO,
+                VCD_CSV=str(csv),
+                VCD_OUT=str(tmp_path),
+            )
+            procs.append(subprocess.Popen(
+                [sys.executable, str(worker_py)], env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            ))
+        try:
+            outs = [p.communicate(timeout=2100)[0].decode() for p in procs]
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+        return procs, outs
+
+    procs, outs = run_wave()
+    if any(p.returncode != 0 for p in procs) and any(
+            "Barrier timed out" in o or "DEADLINE_EXCEEDED" in o
+            for o in outs):
+        # Coordination-barrier timeout: on a 1-core host a cold CPU-XLA
+        # compile can skew the two workers past the shutdown barrier
+        # deadline. Retry ONCE for this specific signature (real
+        # assertion/runtime failures are never retried).
+        procs, outs = run_wave()
     for p, o in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{o[-4000:]}"
 

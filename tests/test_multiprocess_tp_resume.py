@@ -210,28 +210,41 @@ def _run_wave(worker_text, tmp_path, extra_env, expect_rc=(0, 0),
               timeout=2100):
     worker_py = tmp_path / "worker.py"
     worker_py.write_text(worker_text)
-    port = _free_port()
-    procs = []
-    for pid in range(2):
-        env = dict(
-            os.environ,
-            COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
-            NUM_PROCESSES="2",
-            PROCESS_ID=str(pid),
-            VCD_REPO=REPO,
-            VCD_OUT=str(tmp_path),
-            **extra_env,
-        )
-        procs.append(subprocess.Popen(
-            [sys.executable, str(worker_py)], env=env,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-        ))
-    try:
-        outs = [p.communicate(timeout=timeout)[0].decode() for p in procs]
-    finally:
-        for p in procs:
-            if p.poll() is None:
-                p.kill()
+
+    def attempt():
+        procs = []
+        port = _free_port()
+        for pid in range(2):
+            env = dict(
+                os.environ,
+                COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+                NUM_PROCESSES="2",
+                PROCESS_ID=str(pid),
+                VCD_REPO=REPO,
+                VCD_OUT=str(tmp_path),
+                **extra_env,
+            )
+            procs.append(subprocess.Popen(
+                [sys.executable, str(worker_py)], env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            ))
+        try:
+            outs = [p.communicate(timeout=timeout)[0].decode()
+                    for p in procs]
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+        return procs, outs
+
+    procs, outs = attempt()
+    if any(p.returncode != w for p, w in zip(procs, expect_rc)) and any(
+            "Barrier timed out" in o or "DEADLINE_EXCEEDED" in o
+            for o in outs):
+        # 1-core host: cold CPU-XLA compile can skew the workers past the
+        # coordination shutdown-barrier deadline; retry once for that
+        # signature only (never for real failures).
+        procs, outs = attempt()
     for p, o, want in zip(procs, outs, expect_rc):
         assert p.returncode == want, (
             f"worker rc={p.returncode} (wanted {want}):\n{o[-4000:]}")
