@@ -182,3 +182,39 @@ class TestTrainerE2E:
         assert int(tr2.state.step) == step_after_1  # optimizer state restored
         tr2.train(epochs=2)
         assert int(tr2.state.step) >= step_after_1
+
+
+def test_run_notebook_equivalent_smoke(tmp_path):
+    """The pinned notebook recipe entry (reference
+    nexar_train_distributed.py:360-436) runs end-to-end on synthetic data
+    with downscaled dims and returns (trainer, history, test_results)."""
+    from vision_collision_detection_tpu.media.synthetic import generate_dataset
+    from vision_collision_detection_tpu.train import run_notebook_equivalent
+
+    csv = generate_dataset(
+        str(tmp_path / "clips"), clips_per_class=3, num_frames=6, height=40,
+        width=56, fps=3, splits=("train", "val", "test"),
+    )
+    trainer, history, test_results = run_notebook_equivalent(
+        csv,
+        save_dir=str(tmp_path / "results"),
+        experiment_name="nb_smoke",
+        epochs=1,
+        batch_size=2,
+        base_model="resnet18",
+        temporal_mode="pooling",
+        use_dashboard=False,
+        config_overrides={
+            "data.fps": 3, "data.duration": 2, "data.frame_size": 32,
+            "train.validation_freq": 0, "train.log_every_steps": 0,
+            "augment.enabled": False, "augment.blur_sigma": 0.0,
+            "augment.horizontal_flip_prob": 0.0,
+        },
+    )
+    # recipe defaults survived into the config
+    assert trainer.cfg.optim.learning_rate == 1e-4
+    assert trainer.cfg.optim.weight_decay == 1e-4
+    assert trainer.cfg.optim.use_class_weights is True
+    assert trainer.cfg.data.sample_strategy == "center"
+    assert len(history.to_dataframe()) == 1
+    assert "accuracy" in test_results

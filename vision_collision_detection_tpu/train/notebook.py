@@ -37,9 +37,13 @@ def run_notebook_equivalent(
     temporal_mode: str = "gru",
     seed: int = 42,
     use_dashboard: bool = True,
+    config_overrides: Optional[dict] = None,
 ):
     """→ (trainer, history, test_results) — the reference's exact notebook
-    recipe (nexar_train_distributed.py:366-383) on the TPU stack."""
+    recipe (nexar_train_distributed.py:366-383) on the TPU stack.
+
+    ``config_overrides``: optional dotted-key overrides applied LAST
+    (e.g. {"data.frame_size": 112} for a quick look on small inputs)."""
     import pandas as pd
 
     from vision_collision_detection_tpu.data import (
@@ -58,9 +62,11 @@ def run_notebook_equivalent(
         "optim.weight_decay": weight_decay,
         "train.epochs": epochs,
         "train.seed": seed,
-        "train.use_class_weights": True,
+        "optim.use_class_weights": True,
         "train.dashboard": use_dashboard,
     })
+    if config_overrides:
+        cfg = cfg.override(config_overrides)
 
     df = pd.read_csv(metadata_csv)
     if "sensor_path" in df.columns:
