@@ -168,9 +168,13 @@ def build_forward():
     return cfg, forward
 
 
-def bench_decode_only(ds, warm_ds) -> tuple:
+def setup_decode_only(ds, warm_ds):
     """Host decode ceiling: loader without any device work (one continuous
-    stream over the PASSES-repeated dataset, same shape as the e2e leg)."""
+    stream over the PASSES-repeated dataset, same shape as the e2e leg).
+    Returns a warmed single-trial closure so decode trials can run
+    INTERLEAVED with the e2e trials — host speed drifts minute-to-minute on
+    shared hosts, and `e2e_fraction_of_host_decode_ceiling` is only
+    meaningful when both legs sample the same drift."""
     from vision_collision_detection_tpu.data.loader import ClipLoader
 
     workers = min(16, os.cpu_count() or 8)
@@ -186,7 +190,7 @@ def bench_decode_only(ds, warm_ds) -> tuple:
             n += batch["frames"].shape[0]
         return n / (time.perf_counter() - t0)
 
-    return _median_trials(one, label="decode-only")
+    return one
 
 
 def bench_device_only(forward, ds) -> tuple:
@@ -445,21 +449,25 @@ def main() -> None:
     warm_ds = make_dataset(paths)
     ds = make_dataset(paths, repeats=PASSES)
 
-    decode_med, decode_trials = bench_decode_only(ds, warm_ds)
     device_med, device_trials = bench_device_only(forward, warm_ds)
 
-    # headline legs: interleaved trials (abcabc...) so host load drift
-    # hits the numerator and both baseline variants equally
+    # headline legs: interleaved trials (abcd abcd ...) so host load drift
+    # hits the decode ceiling, the numerator, and both baseline variants
+    # equally
+    decode_one = setup_decode_only(ds, warm_ds)
     e2e_one = setup_tpu_pipeline(ds, warm_ds, forward)
     base_one, base_batched_one = setup_reference_style(paths, cfg)
-    e2e_trials, base_trials, base_b8_trials = [], [], []
+    decode_trials, e2e_trials, base_trials, base_b8_trials = [], [], [], []
     for t in range(HEADLINE_TRIALS):
+        decode_trials.append(decode_one())
+        log(f"decode-only trial {t}: {decode_trials[-1]:.2f} clips/s")
         e2e_trials.append(e2e_one())
         log(f"e2e tpu pipeline trial {t}: {e2e_trials[-1]:.2f} clips/s")
         base_trials.append(base_one())
         log(f"reference-style trial {t}: {base_trials[-1]:.2f} clips/s")
         base_b8_trials.append(base_batched_one())
         log(f"reference-style B=8 trial {t}: {base_b8_trials[-1]:.2f} clips/s")
+    decode_med = statistics.median(decode_trials)
     e2e_med = statistics.median(e2e_trials)
     base_b1_med = statistics.median(base_trials)
     base_b8_med = statistics.median(base_b8_trials)
