@@ -76,6 +76,82 @@ class TestDecoder:
             decode_frames(path, [5, 3, 1])
 
 
+@pytest.fixture(scope="module")
+def bframe_video(tmp_path_factory):
+    """H.264 stream with disposable B-frames and a mid-stream scenecut IDR —
+    the structure of real dashcam footage (and the two decode paths the
+    mpeg4 ramp fixture never exercises: non-ref skip + DTS-indexed keyframe
+    seeks)."""
+    path = str(tmp_path_factory.mktemp("media") / "bframes.mp4")
+    n, h, w = 96, 96, 128
+    frames = np.zeros((n, h, w, 3), np.uint8)
+    yy, xx = np.mgrid[0:h, 0:w]
+    for t in range(n):
+        # smooth motion so x264 emits B-frames; hard cut at 40 → scenecut IDR
+        base = ((xx * 2 + t * 5) % 256) if t < 40 else ((yy * 3 + t * 7 + 128) % 256)
+        frames[t, ..., 0] = base
+        frames[t, ..., 1] = (base + 85) % 256
+        frames[t, ..., 2] = (base + 170) % 256
+    encode_video(path, frames, fps=10, codec="libx264", gop=48, bframes=3,
+                 crf=20.0, preset="medium")
+    return path, n
+
+
+class TestBFrameStreams:
+    """Pins the two B-frame-stream behaviors:
+
+    1. non-ref skip bit-exactness: unneeded disposable frames are dropped at
+       the decoder (AVDISCARD_NONREF per packet) without changing a single
+       byte of any RETURNED frame;
+    2. seek-ahead termination: the MP4 index maps keyframes by DTS while the
+       demuxer seeks by PTS, so a scenecut IDR's display index is
+       over-estimated by the reorder depth — without the has_b_frames margin
+       + one-seek-per-wanted-index guard this looped forever (round-4 fix).
+    """
+
+    PATTERNS = [
+        list(range(0, 25)),          # dense head
+        list(range(0, 96, 7)),       # sparse uniform
+        [10, 38, 39, 41, 44, 60],    # straddles the scenecut
+        [2, 50, 90],                 # sparse across the mid-stream IDR
+        [45],                        # single frame past the IDR (the hang case)
+    ]
+
+    def test_nonref_skip_bitexact(self, bframe_video):
+        from vision_collision_detection_tpu.media.decoder import (
+            set_skip_unneeded,
+        )
+
+        path, n = bframe_video
+        try:
+            set_skip_unneeded(False)
+            full = decode_frames(path, list(range(n)))
+            for idx in self.PATTERNS:
+                set_skip_unneeded(False)
+                off = decode_frames(path, idx)
+                set_skip_unneeded(True)
+                on = decode_frames(path, idx)
+                np.testing.assert_array_equal(on, off)
+                np.testing.assert_array_equal(on, full[idx])
+        finally:
+            set_skip_unneeded(True)  # restore the default
+
+    def test_nonref_skip_actually_skips(self, bframe_video):
+        from vision_collision_detection_tpu.media.decoder import (
+            decode_profile,
+            profile_decode,
+        )
+
+        path, n = bframe_video
+        profile_decode(True)
+        try:
+            decode_frames(path, list(range(0, n, 7)))
+            prof = decode_profile()
+        finally:
+            profile_decode(False)
+        assert prof["frames_skipped_nonref"] > 0
+
+
 class TestSampler:
     def test_center(self):
         idx = sample_clip_indices("center", 150, 50)

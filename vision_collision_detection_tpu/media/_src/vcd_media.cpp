@@ -55,12 +55,24 @@ static thread_local std::string g_last_error;
 // is measured, not guessed. Off by default; ~zero overhead when off.
 // Slots: 0=demux+decode 1=sws(yuv→rgb) 2=aa_resize 3=copy/pad 4=open
 // Counts: 0=frames_decoded 1=frames_converted 2=seeks 3=frames_skipped_by_seek
+//         4=frames_skipped_nonref
 // ---------------------------------------------------------------------------
 namespace {
 
 std::atomic<long long> g_prof_ns[5];
-std::atomic<long long> g_prof_ct[4];
+std::atomic<long long> g_prof_ct[5];
 std::atomic<int> g_prof_on{0};
+
+// Decode-side frame skipping for unneeded NON-REFERENCE frames (default on).
+// H.264 dashcam streams carry disposable B-frames (nal_ref_idc == 0); when a
+// packet's display index is not in the wanted set, the decoder is told
+// AVDISCARD_NONREF for that packet, so it drops the macroblock decode of
+// disposable frames entirely. Reference frames are always decoded, and wanted
+// frames are never marked, so the pixels of every RETURNED frame are
+// bit-identical with or without skipping (pinned by
+// tests/test_media.py::test_nonref_skip_bitexact). I/P-only streams (e.g. the
+// mpeg4 test fixtures) are unaffected — every frame is a reference.
+std::atomic<int> g_skip_unneeded{1};
 
 inline long long now_ns() {
   struct timespec ts;
@@ -113,18 +125,24 @@ void vcd_profile_enable(int on) {
   g_prof_on.store(on ? 1 : 0, std::memory_order_relaxed);
 }
 
+// Toggle decode-skip of unneeded non-reference frames (diagnostics/tests).
+void vcd_set_skip_unneeded(int on) {
+  g_skip_unneeded.store(on ? 1 : 0, std::memory_order_relaxed);
+}
+
 void vcd_profile_reset() {
   for (auto& a : g_prof_ns) a.store(0, std::memory_order_relaxed);
   for (auto& a : g_prof_ct) a.store(0, std::memory_order_relaxed);
 }
 
 // out[0..4] = ns in {demux+decode, sws yuv→rgb, aa resize, copy/pad, open};
-// out[5..8] = counts {frames_decoded, frames_converted, seeks,
-//                     frames_skipped_by_seek}. n = len(out), up to 9 filled.
+// out[5..9] = counts {frames_decoded, frames_converted, seeks,
+//                     frames_skipped_by_seek, frames_skipped_nonref}.
+// n = len(out), up to 10 filled.
 void vcd_profile_get(long long* out, int n) {
   for (int i = 0; i < n && i < 5; i++)
     out[i] = g_prof_ns[i].load(std::memory_order_relaxed);
-  for (int i = 5; i < n && i < 9; i++)
+  for (int i = 5; i < n && i < 10; i++)
     out[i] = g_prof_ct[i - 5].load(std::memory_order_relaxed);
 }
 
@@ -201,6 +219,12 @@ struct Reader {
   // frames BEFORE paying for it — decode-ahead stays optimal for dense
   // sampling while sparse sampling (uniform over long videos) jumps
   // keyframe-to-keyframe instead of decoding every intermediate frame.
+  //
+  // CAVEAT: index entry timestamps are DTS, so for B-frame streams this
+  // OVER-estimates the keyframe's display index by up to the reorder depth
+  // (dec->has_b_frames) — and the demuxer's own seek resolves on PTS, so a
+  // seek toward such a keyframe can land a whole GOP earlier. Callers must
+  // subtract the reorder depth before judging a seek profitable.
   long keyframe_before(long idx) const {
     int e = av_index_search_timestamp(stream, pts_of_frame(idx),
                                       AVSEEK_FLAG_BACKWARD);
@@ -538,6 +562,12 @@ long vcd_decode(const char* path, const long* indices, long n_indices,
   AVFrame* frame = av_frame_alloc();
   long want_pos = 0;  // next position in indices[] to fill
   bool eof = false;
+  // Packets marked AVDISCARD_NONREF whose frame never came back out of the
+  // decoder — i.e. macroblock decodes actually saved. Marked frames that DO
+  // appear (they were reference frames) are decremented on arrival.
+  long skipped_nonref = 0;
+  const bool skip_unneeded =
+      g_skip_unneeded.load(std::memory_order_relaxed) != 0;
 
   auto convert_and_store = [&](AVFrame* f, long out_slot) {
     unsigned char* dst_frame = out + (size_t)out_slot * frame_bytes;
@@ -606,6 +636,7 @@ long vcd_decode(const char* path, const long* indices, long n_indices,
 
   long cur_fidx = -1;       // display index of the last decoded frame
   bool just_sought = false;  // suppress re-seek until a frame lands
+  long sought_want = -1;     // wanted index we already sought toward
 
   while (want_pos < n_indices && !eof) {
     // Seek-ahead: when the next wanted frame's keyframe lies beyond the
@@ -615,18 +646,27 @@ long vcd_decode(const char* path, const long* indices, long n_indices,
     // never seeks and sparse sampling (uniform over minutes of video)
     // skips whole GOPs. This is the decode-cost analogue of the
     // reference's random-access reads (nexar_videos.py:422).
-    if (!just_sought && cur_fidx >= 0) {
+    //
+    // Two B-frame-stream guards (the index maps keyframes by DTS, the
+    // demuxer seeks by PTS — see keyframe_before): the reorder-depth
+    // margin keeps a DTS-overestimated keyframe index from triggering a
+    // seek that lands BEHIND the current position, and `sought_want`
+    // caps the loop at one seek per wanted index so a mispredicted
+    // landing degrades to linear decode instead of a re-seek cycle.
+    if (!just_sought && cur_fidx >= 0 && indices[want_pos] != sought_want) {
       ProfScope pd(0);
       long kf = r.keyframe_before(indices[want_pos]);
-      if (kf > cur_fidx + 1) {
+      long margin = r.dec->has_b_frames;
+      if (kf - margin > cur_fidx + 1) {
         ret = av_seek_frame(r.fmt, r.stream_index,
                             r.pts_of_frame(indices[want_pos]),
                             AVSEEK_FLAG_BACKWARD);
         if (ret >= 0) {
           avcodec_flush_buffers(r.dec);
           just_sought = true;
+          sought_want = indices[want_pos];
           prof_count(2);
-          prof_count(3, kf - cur_fidx - 1);
+          prof_count(3, kf - margin - cur_fidx - 1);
         }
       }
     }
@@ -646,6 +686,19 @@ long vcd_decode(const char* path, const long* indices, long n_indices,
       continue;
     } else {
       ProfScope pd(0);
+      // Per-packet skip marking: packets whose display index is outside the
+      // wanted set decode only if they are reference frames. libav snapshots
+      // skip_frame at packet submission (also under frame threading), so
+      // toggling between packets is well-defined.
+      if (skip_unneeded && pkt->pts != AV_NOPTS_VALUE) {
+        long pidx = r.frame_index_of(pkt->pts);
+        bool wanted = std::binary_search(indices + want_pos,
+                                         indices + n_indices, pidx);
+        r.dec->skip_frame = wanted ? AVDISCARD_DEFAULT : AVDISCARD_NONREF;
+        if (!wanted) skipped_nonref++;
+      } else {
+        r.dec->skip_frame = AVDISCARD_DEFAULT;
+      }
       avcodec_send_packet(r.dec, pkt);
       av_packet_unref(pkt);
     }
@@ -669,6 +722,9 @@ long vcd_decode(const char* path, const long* indices, long n_indices,
       long fidx = r.frame_index_of(pts);
       cur_fidx = fidx;
       just_sought = false;
+      if (skip_unneeded &&
+          !std::binary_search(indices + want_pos, indices + n_indices, fidx))
+        skipped_nonref--;  // marked packet survived: it was a reference frame
       while (want_pos < n_indices && indices[want_pos] <= fidx) {
         // `<=` also catches wanted frames the seek jumped past.
         convert_and_store(frame, want_pos);
@@ -681,6 +737,7 @@ long vcd_decode(const char* path, const long* indices, long n_indices,
   av_frame_free(&frame);
   av_packet_free(&pkt);
   sws_freeContext(sws);
+  if (skipped_nonref > 0) prof_count(4, skipped_nonref);
   return want_pos;
 }
 
@@ -780,7 +837,14 @@ static bool encoder_drain(VcdEncoder* e) {
   return true;
 }
 
-void* vcd_encode_open(const char* path, int w, int h, double fps) {
+// Extended open: codec_name selects the encoder ("mpeg4", "libx264", ...);
+// gop_size > 0 sets the keyframe interval; max_b_frames >= 0 sets the
+// B-frame budget (x264 layers disposable B-frames the decoder's NONREF skip
+// can drop); crf >= 0 switches x264-family encoders to constant-quality mode
+// (bit_rate is used otherwise); preset (may be NULL) maps to the x264 preset.
+void* vcd_encode_open2(const char* path, int w, int h, double fps,
+                       const char* codec_name, int gop_size, int max_b_frames,
+                       double crf, const char* preset) {
   if (w % 2 || h % 2) {
     set_error("encode requires even dimensions (yuv420p)");
     return nullptr;
@@ -794,9 +858,13 @@ void* vcd_encode_open(const char* path, int w, int h, double fps) {
     encoder_free(e);
     return nullptr;
   }
-  const AVCodec* codec = avcodec_find_encoder(AV_CODEC_ID_MPEG4);
+  const AVCodec* codec =
+      codec_name && codec_name[0]
+          ? avcodec_find_encoder_by_name(codec_name)
+          : avcodec_find_encoder(AV_CODEC_ID_MPEG4);
   if (!codec) {
-    set_error("mpeg4 encoder unavailable");
+    set_error(std::string("encoder unavailable: ") +
+              (codec_name ? codec_name : "mpeg4"));
     encoder_free(e);
     return nullptr;
   }
@@ -808,8 +876,14 @@ void* vcd_encode_open(const char* path, int w, int h, double fps) {
   AVRational fr = av_d2q(fps, 1000000);
   e->enc->time_base = av_inv_q(fr);
   e->enc->framerate = fr;
-  e->enc->bit_rate = (int64_t)w * h * 8;
-  e->enc->gop_size = 12;  // frequent keyframes → cheap seeks
+  if (crf >= 0.0)
+    av_opt_set_double(e->enc->priv_data, "crf", crf, 0);
+  else
+    e->enc->bit_rate = (int64_t)w * h * 8;
+  if (preset && preset[0])
+    av_opt_set(e->enc->priv_data, "preset", preset, 0);
+  if (gop_size > 0) e->enc->gop_size = gop_size;
+  if (max_b_frames >= 0) e->enc->max_b_frames = max_b_frames;
   if (e->fmt->oformat->flags & AVFMT_GLOBALHEADER)
     e->enc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
   auto fail = [&](const std::string& msg) -> void* {
@@ -837,6 +911,12 @@ void* vcd_encode_open(const char* path, int w, int h, double fps) {
   av_frame_get_buffer(e->yuv, 0);
   e->pkt = av_packet_alloc();
   return e;
+}
+
+void* vcd_encode_open(const char* path, int w, int h, double fps) {
+  // Legacy default: mpeg4, gop 12 (frequent keyframes → cheap seeks),
+  // no B-frames, bit-rate mode.
+  return vcd_encode_open2(path, w, h, fps, "mpeg4", 12, 0, -1.0, nullptr);
 }
 
 // frames: n * h * w * 3 bytes appended in display order. Returns 0 on

@@ -85,6 +85,13 @@ def _get_lib():
                     ctypes.c_double,
                 ]
                 lib.vcd_encode_open.restype = ctypes.c_void_p
+                lib.vcd_encode_open2.argtypes = [
+                    ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+                    ctypes.c_double, ctypes.c_char_p, ctypes.c_int,
+                    ctypes.c_int, ctypes.c_double, ctypes.c_char_p,
+                ]
+                lib.vcd_encode_open2.restype = ctypes.c_void_p
+                lib.vcd_set_skip_unneeded.argtypes = [ctypes.c_int]
                 lib.vcd_encode_append.argtypes = [
                     ctypes.c_void_p, ctypes.POINTER(ctypes.c_ubyte),
                     ctypes.c_long,
@@ -240,8 +247,8 @@ def decode_profile() -> dict:
     AA resize, copy/pad — plus frame/seek counts. The measured breakdown
     behind the e2e bench's host-decode ceiling."""
     lib = _get_lib()
-    buf = (ctypes.c_longlong * 9)()
-    lib.vcd_profile_get(buf, 9)
+    buf = (ctypes.c_longlong * 10)()
+    lib.vcd_profile_get(buf, 10)
     return {
         "decode_s": buf[0] / 1e9,
         "yuv_to_rgb_s": buf[1] / 1e9,
@@ -252,23 +259,35 @@ def decode_profile() -> dict:
         "frames_converted": int(buf[6]),
         "seeks": int(buf[7]),
         "frames_skipped_by_seek": int(buf[8]),
+        "frames_skipped_nonref": int(buf[9]),
     }
 
 
-def encode_video(path: str, frames: np.ndarray, fps: float = 10.0) -> None:
-    """frames uint8 [N, H, W, 3] → MP4 (mpeg4 codec, yuv420p)."""
-    lib = _get_lib()
+def set_skip_unneeded(on: bool) -> None:
+    """Toggle decode-side dropping of unneeded NON-REFERENCE frames (on by
+    default). Frames returned to the caller are bit-identical either way —
+    only disposable frames outside the wanted index set are dropped; the
+    toggle exists for tests and A/B decode-cost measurement."""
+    _get_lib().vcd_set_skip_unneeded(1 if on else 0)
+
+
+def encode_video(path: str, frames: np.ndarray, fps: float = 10.0,
+                 codec: str = "mpeg4", gop: int = 12,
+                 bframes: int | None = None, crf: float | None = None,
+                 preset: str | None = None) -> None:
+    """frames uint8 [N, H, W, 3] → MP4 (yuv420p).
+
+    Default codec is mpeg4 (bit-rate mode, no B-frames — the cheap synthetic
+    fixture path). ``codec="libx264"`` with ``bframes``/``crf``/``preset``
+    produces dashcam-representative H.264 with disposable B-frames that the
+    decoder's non-ref skip can drop for sparse sampling."""
     frames = np.ascontiguousarray(frames, dtype=np.uint8)
     if frames.ndim != 4 or frames.shape[-1] != 3:
         raise ValueError(f"expected [N,H,W,3] uint8, got {frames.shape}")
     n, h, w, _ = frames.shape
-    rc = lib.vcd_encode(
-        path.encode(),
-        frames.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
-        n, w, h, float(fps),
-    )
-    if rc != 0:
-        raise MediaError(f"encode failed for {path}: {_last_error()}")
+    with VideoWriter(path, w=w, h=h, fps=fps, codec=codec, gop=gop,
+                     bframes=bframes, crf=crf, preset=preset) as vw:
+        vw.append(frames)
 
 
 class VideoWriter:
@@ -281,10 +300,16 @@ class VideoWriter:
                 vw.append(chunk)
     """
 
-    def __init__(self, path: str, w: int, h: int, fps: float = 10.0):
+    def __init__(self, path: str, w: int, h: int, fps: float = 10.0,
+                 codec: str = "mpeg4", gop: int = 12,
+                 bframes: int | None = None, crf: float | None = None,
+                 preset: str | None = None):
         self._lib = _get_lib()
-        self._handle = self._lib.vcd_encode_open(
-            path.encode(), int(w), int(h), float(fps))
+        self._handle = self._lib.vcd_encode_open2(
+            path.encode(), int(w), int(h), float(fps), codec.encode(),
+            int(gop), -1 if bframes is None else int(bframes),
+            -1.0 if crf is None else float(crf),
+            preset.encode() if preset else None)
         if not self._handle:
             raise MediaError(f"encoder open failed for {path}: "
                              f"{_last_error()}")
