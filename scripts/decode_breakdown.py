@@ -12,6 +12,13 @@ index-proven seek-ahead skips whole GOPs instead of decoding every
 intermediate frame (the notebook-inference access pattern,
 /root/reference/nexar_videos.py:422).
 
+Third leg: sampling-aware decode on H.264 with disposable B-frames (real
+dashcam streams; the mpeg4 bench fixtures are all-reference so the skip is
+structurally inert there). The decoder marks packets outside the wanted
+index set AVDISCARD_NONREF, dropping the macroblock decode of disposable
+frames with bit-identical output (tests/test_media.py::TestBFrameStreams);
+this leg A/Bs skip on/off on x264 fixtures to measure what that is worth.
+
 CPU-only (no jax import). Writes DECODE_BREAKDOWN_r04.json at the repo root
 and prints it.
 """
@@ -103,10 +110,50 @@ def profiled_decode(paths, indices, target, label):
         "frames_converted": prof["frames_converted"],
         "seeks": prof["seeks"],
         "frames_skipped_by_seek": prof["frames_skipped_by_seek"],
+        "frames_skipped_nonref": prof["frames_skipped_nonref"],
     }
     print(f"{label}: {out['clips_per_s']} clips/s, per-clip ms "
           f"{out['per_clip_ms']}", file=sys.stderr)
     return out
+
+
+def _ensure_h264_fixtures(n: int = 8) -> list:
+    """x264 siblings of the bench fixtures (same generated content): crf 23,
+    gop 12, 2 B-frames — dashcam-representative stream structure. Small n:
+    this leg measures a per-clip ratio, not throughput."""
+    rng = np.random.default_rng(0)  # same stream as ensure_fixtures
+    paths = []
+    for i in range(n):
+        p = os.path.join(CACHE_DIR, f"clip_h264_{i:03d}.mp4")
+        paths.append(p)
+        # keep the fixture RNG stream aligned with ensure_fixtures
+        base = rng.integers(20, 100, size=3)
+        if os.path.exists(p):
+            try:
+                if probe(p).num_frames == CLIP_FRAMES:
+                    for t in range(CLIP_FRAMES):
+                        rng.integers(0, 30, size=(SRC_H // 8, SRC_W // 8, 3))
+                    continue
+            except Exception:
+                pass
+        frames = np.zeros((CLIP_FRAMES, SRC_H, SRC_W, 3), np.uint8)
+        frames[:] = base
+        for t in range(CLIP_FRAMES):
+            size = 80 + t * 8
+            y = max(0, min(SRC_H - size,
+                           (SRC_H - size) // 2 + int(40 * np.sin(t / 6))))
+            x = max(0, min(SRC_W - size,
+                           (SRC_W - size) // 2 + int(60 * np.cos(t / 8))))
+            frames[t, y:y + size, x:x + size] = (200, 80 + i % 100, 60)
+            noise = rng.integers(0, 30,
+                                 size=(SRC_H // 8, SRC_W // 8, 3)).astype(np.int16)
+            block = np.kron(noise, np.ones((8, 8, 1), np.int16))
+            frames[t] = np.clip(frames[t].astype(np.int16) + block,
+                                0, 255).astype(np.uint8)
+        encode_video(p, frames, fps=10.0, codec="libx264", gop=12, bframes=2,
+                     crf=23.0, preset="veryfast")
+        print(f"encoded h264 fixture {i + 1}/{n}", file=sys.stderr)
+    return paths
 
 
 def main() -> None:
@@ -123,9 +170,51 @@ def main() -> None:
     sparse = profiled_decode([long_path], sparse_idx, content,
                              "sparse 50-of-500")
 
+    # Leg 3: H.264-with-B-frames A/B — sampling-aware non-ref skip on/off.
+    from vision_collision_detection_tpu.media.decoder import set_skip_unneeded
+
+    h264_paths = _ensure_h264_fixtures()
+    h264_idx = np.tile(np.arange(0, CLIP_FRAMES, 2, dtype=np.int64),
+                       (len(h264_paths), 1))
+    # INTERLEAVED on/off trials: host speed drifts minute-to-minute on this
+    # box (the dense leg has measured 112-208 ms/clip demux across runs), so
+    # an A/B measured sequentially mostly measures the drift.
+    decode_batch(h264_paths, h264_idx, content)  # warm
+    on_walls, off_walls = [], []
+    try:
+        for _ in range(5):
+            for skip, walls in ((True, on_walls), (False, off_walls)):
+                set_skip_unneeded(skip)
+                t0 = time.perf_counter()
+                decode_batch(h264_paths, h264_idx, content)
+                walls.append(time.perf_counter() - t0)
+        set_skip_unneeded(True)
+        profile_decode(True)
+        decode_batch(h264_paths, h264_idx, content)
+        prof_on = decode_profile()
+        profile_decode(False)
+    finally:
+        set_skip_unneeded(True)
+    n = len(h264_paths)
+    on_cps = n / statistics.median(on_walls)
+    off_cps = n / statistics.median(off_walls)
+    h264 = {
+        "clips": n,
+        "skip_on_clips_per_s": round(on_cps, 3),
+        "skip_off_clips_per_s": round(off_cps, 3),
+        "skip_speedup": round(on_cps / off_cps, 3),
+        "trials_interleaved": 5,
+        "frames_decoded_skip_on": prof_on["frames_decoded"],
+        "frames_skipped_nonref": prof_on["frames_skipped_nonref"],
+        "frames_converted": prof_on["frames_converted"],
+    }
+    print(f"h264 stride-2 interleaved: on {on_cps:.3f} off {off_cps:.3f} "
+          f"clips/s (speedup {on_cps / off_cps:.3f})", file=sys.stderr)
+
     result = {
         "dense_stride2_32x720p": dense,
         "sparse_uniform_50of500_720p": sparse,
+        "h264_bframes_stride2_8x720p": h264,
         "host_cores": os.cpu_count(),
         "note": (
             "per_clip_ms from the in-library stage profiler "
