@@ -66,7 +66,8 @@ def device_memory(dev, compiled=None) -> dict:
     return out
 
 
-def run_config(cfg_base, B, remat, frames, size, dev, train=True):
+def run_config(cfg_base, B, remat, frames, size, dev, train=True,
+               attn="xla"):
     import jax
 
     from vision_collision_detection_tpu.train.steps import (
@@ -77,6 +78,7 @@ def run_config(cfg_base, B, remat, frames, size, dev, train=True):
 
     cfg = cfg_base.override({
         "model.remat": bool(remat), "data.batch_size": B,
+        "model.attention_impl": attn,
     })
     t0 = time.perf_counter()
     model, state = create_train_state(
@@ -85,8 +87,8 @@ def run_config(cfg_base, B, remat, frames, size, dev, train=True):
     )
     n_params = sum(int(np.prod(np.shape(x)))
                    for x in jax.tree_util.tree_leaves(state.params))
-    log(f"[B={B} remat={remat}] init {time.perf_counter() - t0:.1f}s, "
-        f"{n_params / 1e6:.1f}M params")
+    log(f"[B={B} remat={remat} attn={attn}] init "
+        f"{time.perf_counter() - t0:.1f}s, {n_params / 1e6:.1f}M params")
 
     rng = np.random.default_rng(0)
     frames_d = jax.device_put(rng.integers(
@@ -95,7 +97,8 @@ def run_config(cfg_base, B, remat, frames, size, dev, train=True):
     mask = jax.device_put(np.ones((B,), np.float32))
     key = jax.random.PRNGKey(1)
 
-    row = {"batch": B, "remat": bool(remat), "params_m": round(n_params / 1e6, 2)}
+    row = {"batch": B, "remat": bool(remat), "attention_impl": attn,
+           "params_m": round(n_params / 1e6, 2)}
 
     train_step = make_train_step(model, cfg, None)
     compiled = None
@@ -125,7 +128,7 @@ def run_config(cfg_base, B, remat, frames, size, dev, train=True):
             state, m_last = train_step(state, frames_d, targets, mask, key)
         jax.block_until_ready(m_last)
         rates.append(reps * B / (time.perf_counter() - t0))
-        log(f"[B={B} remat={remat}] train trial {trial}: "
+        log(f"[B={B} remat={remat} attn={attn}] train trial {trial}: "
             f"{rates[-1]:.2f} clips/s")
     med = statistics.median(rates)
     row["train_clips_per_s"] = round(med, 3)
@@ -137,7 +140,7 @@ def run_config(cfg_base, B, remat, frames, size, dev, train=True):
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--sweep", nargs="+", default=["2:1", "4:1", "8:1", "4:0"],
-                   help="batch:remat rows")
+                   help="batch:remat[:attn] rows (attn: xla|flash)")
     p.add_argument("--frames", type=int, default=32)
     p.add_argument("--size", type=int, default=336)
     p.add_argument("--eval-batch", type=int, default=8)
@@ -177,9 +180,11 @@ def main() -> int:
     }
 
     for spec in args.sweep:
-        b, r = spec.split(":")
+        parts = spec.split(":")
+        b, r = int(parts[0]), int(parts[1])
+        attn = parts[2] if len(parts) > 2 else "xla"
         result["sweep"].append(run_config(
-            cfg_base, int(b), int(r), args.frames, args.size, dev))
+            cfg_base, b, r, args.frames, args.size, dev, attn=attn))
 
     # eval leg at the largest batch (BASELINE config-5 inference shape)
     B = args.eval_batch

@@ -151,6 +151,71 @@ class TestBFrameStreams:
             profile_decode(False)
         assert prof["frames_skipped_nonref"] > 0
 
+    def test_eof_padding_with_disposable_tail(self, bframe_video):
+        """Pad-with-last policy must be skip-invariant even when the
+        stream's final display frames are disposable B-frames."""
+        from vision_collision_detection_tpu.media.decoder import (
+            set_skip_unneeded,
+        )
+
+        path, n = bframe_video
+        idx = [n - 9, n - 3, n + 5, n + 9]  # two real, two past EOF
+        try:
+            set_skip_unneeded(False)
+            off = decode_frames(path, idx)
+            set_skip_unneeded(True)
+            on = decode_frames(path, idx)
+        finally:
+            set_skip_unneeded(True)
+        np.testing.assert_array_equal(on, off)
+        np.testing.assert_array_equal(on[2], on[1])
+        np.testing.assert_array_equal(on[3], on[1])
+
+    def test_pool_decode_bitexact(self, bframe_video, tmp_path):
+        """decode_batch (C++ thread pool) over B-frame files matches
+        per-file decode_frames byte-for-byte."""
+        from vision_collision_detection_tpu.media.decoder import decode_batch
+
+        path, n = bframe_video
+        idx = np.tile(np.arange(0, n, 5, dtype=np.int64), (3, 1))
+        frames, ok = decode_batch([path] * 3, idx, (64, 96))
+        assert ok.all()
+        single = decode_frames(path, list(range(0, n, 5)), (64, 96))
+        for k in range(3):
+            np.testing.assert_array_equal(frames[k], single)
+
+    def test_long_gop_sparse_seek(self, tmp_path):
+        """Sparse sampling on a long-GOP B-frame stream: seek-ahead must
+        terminate and return the exact frames (the `<=` catch path when a
+        seek overshoots a wanted index)."""
+        from vision_collision_detection_tpu.media.decoder import (
+            set_skip_unneeded,
+        )
+
+        path = str(tmp_path / "longgop.mp4")
+        n, h, w = 200, 96, 128
+        frames = np.zeros((n, h, w, 3), np.uint8)
+        yy, xx = np.mgrid[0:h, 0:w]
+        for t in range(n):
+            seg = t // 50  # scene cut every 50 frames → scattered IDRs
+            base = ((xx * (seg + 2) + t * 5) % 256)
+            frames[t, ..., 0] = base
+            frames[t, ..., 1] = (base + 90) % 256
+            frames[t, ..., 2] = (base + 180) % 256
+        encode_video(path, frames, fps=10, codec="libx264", gop=120,
+                     bframes=3, crf=20.0, preset="veryfast")
+        idx = [0, 49, 51, 103, 150, 199]
+        try:
+            set_skip_unneeded(False)
+            off = decode_frames(path, idx)
+            set_skip_unneeded(True)
+            on = decode_frames(path, idx)
+        finally:
+            set_skip_unneeded(True)
+        np.testing.assert_array_equal(on, off)
+        full = decode_frames(path, list(range(n)))
+        np.testing.assert_array_equal(on, full[idx])
+
 
 class TestSampler:
     def test_center(self):

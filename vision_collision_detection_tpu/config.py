@@ -159,6 +159,15 @@ class ModelConfig:
     patch_size: int = 14
     image_size: int = 224
     remat: bool = False  # rematerialize transformer blocks (memory for FLOPs)
+    # "flash" uses the Pallas TPU flash-attention kernel for the spatial
+    # blocks (ops/flash_attention.py); the S×S attention matrix never hits
+    # HBM in fwd or bwd. Measured on v5e (FLASH_AB_r04.json): XLA's fused
+    # attention WINS at the 336px spatial seq (576 tokens, kernel 0.68×,
+    # step-level 0.33×); flash only pulls ahead at ≥1024 tokens (448px:
+    # 1.37× fwd / 1.10× fwd+bwd) — so "xla" stays the default and "flash"
+    # is the opt-in for ≥448px scaled configs. Falls back to the XLA path
+    # off-TPU; parameter trees are identical so checkpoints swap freely.
+    attention_impl: str = "xla"
 
     def backbone_feature_dim(self) -> int:
         from vision_collision_detection_tpu.models.backbones import feature_dim

@@ -28,14 +28,28 @@ class TransformerBlock(nn.Module):
     mlp_ratio: int = 4
     dropout: float = 0.0
     dtype: Any = jnp.bfloat16
+    attention_impl: str = "xla"  # "xla" | "flash" (ops/flash_attention.py)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
-        h = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads, dtype=self.dtype,
-            dropout_rate=self.dropout, deterministic=not train, name="attn",
-        )(h, h)
+        if self.attention_impl == "flash":
+            if self.dropout:
+                raise ValueError("flash attention has no attention-dropout; "
+                                 "use attention_impl='xla' or dropout=0")
+            from vision_collision_detection_tpu.ops.flash_attention import (
+                FlashSelfAttention,
+            )
+
+            h = FlashSelfAttention(
+                num_heads=self.num_heads, dtype=self.dtype, name="attn",
+            )(h, train)
+        else:
+            h = nn.MultiHeadDotProductAttention(
+                num_heads=self.num_heads, dtype=self.dtype,
+                dropout_rate=self.dropout, deterministic=not train,
+                name="attn",
+            )(h, h)
         x = x + h
         h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
         h = nn.Dense(self.dim * self.mlp_ratio, dtype=self.dtype, name="mlp_fc1")(h)
@@ -57,6 +71,7 @@ class ViViT(nn.Module):
     dropout: float = 0.0
     remat: bool = False  # rematerialize blocks (32-frame 336px training)
     dtype: Any = jnp.bfloat16
+    attention_impl: str = "xla"
 
     @nn.compact
     def __call__(self, frames, train: bool = False):
@@ -84,7 +99,8 @@ class ViViT(nn.Module):
         for i in range(self.spatial_layers):
             tokens = block_cls(
                 dim=self.dim, num_heads=self.num_heads, dropout=self.dropout,
-                dtype=self.dtype, name=f"spatial_{i}",
+                dtype=self.dtype, attention_impl=self.attention_impl,
+                name=f"spatial_{i}",
             )(tokens, train)
         tokens = nn.LayerNorm(dtype=self.dtype, name="spatial_norm")(tokens)
 
@@ -128,5 +144,6 @@ def build_vivit(cfg: ModelConfig) -> ViViT:
         dropout=0.0,
         remat=cfg.remat,
         dtype=jnp.dtype(cfg.dtype),
+        attention_impl=cfg.attention_impl,
         **sizes,
     )
