@@ -102,3 +102,49 @@ def test_sliding_window(trained_run):
     assert res[1]["start_sec"] > res[0]["start_sec"]
     for r in res:
         assert abs(sum(r["probabilities"].values()) - 1.0) < 1e-4
+
+
+# ---------------------------------------------------------------- AOT bundle
+def test_export_serving_bundle_roundtrip(trained_run, tmp_path):
+    """export_serving → ServingBundle: the deserialized StableHLO program
+    reproduces the live jitted forward exactly, with bucket padding and
+    chunking across buckets (infer/aot.py)."""
+    import json
+
+    from vision_collision_detection_tpu.infer import ServingBundle
+    from vision_collision_detection_tpu.infer.aot import _forward_shape
+
+    run_dir, _ = trained_run
+    pred = CollisionPredictor.from_checkpoint(run_dir)
+    bundle_dir = str(tmp_path / "bundle")
+    manifest = pred.export_serving(bundle_dir, batch_sizes=(1, 2))
+    (T, H, W, C), stride = _forward_shape(pred.cfg, None)
+    assert manifest["frame_shape"] == [T, H, W, C]
+    assert manifest["buckets"] == [1, 2]
+    assert manifest["platforms"] == ["cpu"]
+    assert manifest["class_names"] == list(pred.class_names)
+
+    bundle = ServingBundle(bundle_dir)
+    rng = np.random.default_rng(0)
+    frames = (rng.random((3, T, H, W, C)) * 255).astype(np.uint8)
+    probs = bundle.predict_probs(frames)  # 3 clips → chunk of 2 + padded 1
+    assert probs.shape == (3, len(pred.class_names))
+    live = np.asarray(pred._make_forward(stride > 1)(frames))
+    np.testing.assert_allclose(probs, live, atol=1e-6)
+
+    results = bundle.predict(frames[:1])
+    assert results[0]["predicted_class"] in bundle.class_names
+    assert abs(sum(results[0]["probabilities"].values()) - 1.0) < 1e-4
+
+    with pytest.raises(ValueError):
+        bundle.predict_probs(frames[:, :, : H - 2])  # wrong per-clip shape
+
+    # platform guard: a bundle exported for another backend refuses to load
+    mpath = os.path.join(bundle_dir, "manifest.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    m["platforms"] = ["tpu"]
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    with pytest.raises(ValueError):
+        ServingBundle(bundle_dir)

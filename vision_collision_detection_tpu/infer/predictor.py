@@ -154,6 +154,16 @@ class CollisionPredictor:
         return (min(nh + nh % 2, self.cfg.data.frame_size),
                 min(nw + nw % 2, self.cfg.data.frame_size))
 
+    def export_serving(self, out_dir: str, batch_sizes=(1, 8),
+                       content_box=None, platforms=None) -> dict:
+        """AOT-export this predictor's serving forward into a
+        ``ServingBundle`` directory (see ``infer/aot.py``): StableHLO with
+        the weights embedded, reloadable without model code or re-tracing."""
+        from vision_collision_detection_tpu.infer.aot import export_bundle
+
+        return export_bundle(self, out_dir, batch_sizes=batch_sizes,
+                             content_box=content_box, platforms=platforms)
+
     # ------------------------------------------------------------------
     @classmethod
     def from_checkpoint(cls, path: str) -> "CollisionPredictor":
