@@ -347,3 +347,91 @@ class TestVideoWriter:
         vw.close()
         with pytest.raises(MediaError):
             vw.append(np.zeros((1, 32, 32, 3), np.uint8))
+
+
+class TestFastResize:
+    """Planar-YUV fast resize (vcd_set_fast_resize / ClipDataset
+    fast_resize): close to the exact convert-then-resize path, exact
+    fallback where the fast geometry doesn't apply."""
+
+    @pytest.fixture(scope="class")
+    def textured_video(self, tmp_path_factory):
+        """320x480 landscape clip with high-frequency texture — the
+        worst case for a resample-order change."""
+        path = str(tmp_path_factory.mktemp("fast") / "tex.mp4")
+        rng = np.random.default_rng(7)
+        n, h, w = 12, 320, 480
+        frames = (rng.random((n, h, w, 3)) * 255).astype(np.uint8)
+        encode_video(path, frames, fps=10)
+        return path
+
+    def test_close_to_exact(self, textured_video):
+        from vision_collision_detection_tpu.media.decoder import (
+            get_fast_resize,
+            set_fast_resize,
+        )
+
+        idx = list(range(0, 12, 2))
+        exact = decode_frames(textured_video, idx, target_size=112,
+                              letterbox=True, fast_resize=False)
+        fast = decode_frames(textured_video, idx, target_size=112,
+                             letterbox=True, fast_resize=True)
+        set_fast_resize(False)
+        assert not get_fast_resize()
+        assert fast.shape == exact.shape
+        d = np.abs(exact.astype(np.int16) - fast.astype(np.int16))
+        # bound: chroma interpolation order + one dropped uint8
+        # quantization; measured max 4/255 on 720p dashcam-like content
+        assert int(d.max()) <= 8, int(d.max())
+        assert float(d.mean()) < 1.5, float(d.mean())
+        # black letterbox bars identical
+        assert (fast[:, :8] == exact[:, :8]).all()
+
+    def test_portrait_bars_fall_back_to_exact(self, tmp_path):
+        """pad_w != 0 (portrait into square) is outside the fast geometry:
+        output must be BIT-identical to the exact path even with the flag
+        on."""
+        path = str(tmp_path / "portrait.mp4")
+        rng = np.random.default_rng(3)
+        frames = (rng.random((6, 240, 120, 3)) * 255).astype(np.uint8)
+        encode_video(path, frames, fps=10)
+        idx = list(range(6))
+        exact = decode_frames(path, idx, target_size=112, letterbox=True,
+                              fast_resize=False)
+        fast = decode_frames(path, idx, target_size=112, letterbox=True,
+                             fast_resize=True)
+        from vision_collision_detection_tpu.media.decoder import (
+            set_fast_resize,
+        )
+        set_fast_resize(False)
+        np.testing.assert_array_equal(exact, fast)
+
+    def test_dataset_plumbs_flag(self, tmp_path):
+        """ClipDataset(fast_resize=True) batches stay close to the exact
+        dataset's batches (native batch decode path)."""
+        import pandas as pd
+
+        from vision_collision_detection_tpu.data.datasets import (
+            ClipDataset,
+            ClipRecord,
+        )
+
+        csv = generate_dataset(str(tmp_path / "ds"), clips_per_class=1,
+                               num_frames=10, height=180, width=320)
+        df = pd.read_csv(csv)
+        records = [
+            ClipRecord(video_id=str(r.id), video_path=r.video_path, label=0)
+            for r in df.itertuples()
+        ]
+        kw = dict(fps=5, duration=1, frame_size=96)
+        exact_ds = ClipDataset(records, fast_resize=False, **kw)
+        fast_ds = ClipDataset(records, fast_resize=True, **kw)
+        be = exact_ds.get_batch(range(len(records)))
+        bf = fast_ds.get_batch(range(len(records)))
+        from vision_collision_detection_tpu.media.decoder import (
+            set_fast_resize,
+        )
+        set_fast_resize(False)
+        assert not be["error"].any() and not bf["error"].any()
+        d = np.abs(be["frames"].astype(np.int16) - bf["frames"].astype(np.int16))
+        assert int(d.max()) <= 8

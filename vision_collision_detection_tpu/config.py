@@ -68,6 +68,12 @@ class DataConfig:
     # (bit-exact; ~44% fewer host→device bytes for 16:9 sources). Requires a
     # probeable first video; disabled automatically when probing fails.
     content_box_transfer: bool = True
+    # Planar-YUV fast resize in the C++ decoder: ~35% cheaper decode per
+    # clip. NOT bit-exact vs torchvision's AA resize (chroma interpolation
+    # order + one dropped uint8 quantization; |Δ| ≤ ~4/255 per pixel, AUC
+    # parity pinned by scripts/parity_harness.py --fast-resize). Off by
+    # default: the exact path remains the reference-parity contract.
+    fast_resize: bool = False
 
     @property
     def num_frames(self) -> int:

@@ -301,7 +301,7 @@ class CollisionPredictor:
             records, fps=dc.fps, duration=dc.duration,
             frame_size=dc.frame_size, sample_strategy=sample_strategy,
             class_names=self.class_names, frame_stride=stride,
-            content_box=content_box,
+            content_box=content_box, fast_resize=dc.fast_resize,
         )
         loader = ClipLoader(ds, batch_size, num_workers=num_workers)
         forward = self._make_forward(stride > 1)
@@ -413,7 +413,8 @@ class CollisionPredictor:
             all_indices.append(idx)
         flat = np.unique(np.concatenate(all_indices))
         decoded = decode_frames(
-            video_path, flat, target_size=dc.frame_size, letterbox=True
+            video_path, flat, target_size=dc.frame_size, letterbox=True,
+            fast_resize=dc.fast_resize,
         )
         pos = {int(f): i for i, f in enumerate(flat)}
         win_idx = np.asarray([[pos[int(i)] for i in idx]

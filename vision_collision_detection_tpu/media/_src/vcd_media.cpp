@@ -74,6 +74,20 @@ std::atomic<int> g_prof_on{0};
 // mpeg4 test fixtures) are unaffected — every frame is a reference.
 std::atomic<int> g_skip_unneeded{1};
 
+// Planar-YUV fast resize (default off — the exact path is the default).
+// When on, 4:2:0 frames skip the native-resolution swscale YUV→RGB pass:
+// the Y/U/V planes are AA-resampled at DECODED resolution (chroma straight
+// from its half-resolution plane, folding the 2×2 upsample into the
+// resample) and the BT.601 YUV→RGB matrix is applied once at TARGET
+// resolution in float — ~26× fewer pixels through the color convert and
+// ~2× less resample arithmetic. Output differs from the exact
+// convert-then-resize path only by chroma-interpolation order and one
+// dropped uint8 quantization (the affine YUV→RGB matrix commutes with the
+// weight-normalized resample in exact arithmetic); the A/B bound is pinned
+// by tests/test_media.py and AUC parity by scripts/parity_harness.py
+// --fast-resize.
+std::atomic<int> g_fast_resize{0};
+
 inline long long now_ns() {
   struct timespec ts;
   clock_gettime(CLOCK_MONOTONIC, &ts);
@@ -128,6 +142,15 @@ void vcd_profile_enable(int on) {
 // Toggle decode-skip of unneeded non-reference frames (diagnostics/tests).
 void vcd_set_skip_unneeded(int on) {
   g_skip_unneeded.store(on ? 1 : 0, std::memory_order_relaxed);
+}
+
+// Toggle the planar-YUV fast resize path (see g_fast_resize above).
+void vcd_set_fast_resize(int on) {
+  g_fast_resize.store(on ? 1 : 0, std::memory_order_relaxed);
+}
+
+int vcd_get_fast_resize() {
+  return g_fast_resize.load(std::memory_order_relaxed);
 }
 
 void vcd_profile_reset() {
@@ -455,6 +478,134 @@ void resize_bilinear_aa(const unsigned char* src, int sh, int sw,
   }
 }
 
+// ---------------------------------------------------------------------------
+// Planar-YUV fast path pieces (g_fast_resize; exact path above stays the
+// default). Single u8 plane → packed f32 plane with the SAME filter
+// construction as the exact path; taps of one channel are CONTIGUOUS bytes,
+// so SIMD loads cover 16 taps per fmadd (vs 4 RGBx taps) and every load
+// stays inside the tap window — no row-slack contract needed.
+// ---------------------------------------------------------------------------
+void resize_plane_aa_f32(const unsigned char* src, int sh, int sw,
+                         size_t src_stride, float* dst, int dh, int dw,
+                         const AAFilter& fx, const AAFilter& fy,
+                         std::vector<float>& tmp) {
+  // VERTICAL-FIRST (the opposite order of the exact RGB path): the
+  // vertical reduction is an axpy over sw-wide contiguous f32 rows — pure
+  // full-width FMA streams with no per-output reduction — and the
+  // horizontal tap-window reduction then runs on only dh rows instead of
+  // sh (5-6× fewer masked-reduce iterations at 720p→224). Both passes use
+  // weight rows that sum to 1, so pass order only reorders the float
+  // accumulation (~1e-4 on [0,255] values) — inside the fast path's
+  // tolerance, which is A/B-bounded against the exact path by
+  // tests/test_media.py.
+  const int ring = std::max(1, fy.ksize);
+  // tmp: ring of u8→f32-converted source rows + one vertical accumulator.
+  tmp.resize(((size_t)ring + 1) * sw);
+  float* vrow = tmp.data() + (size_t)ring * sw;
+  int next_src = 0;
+
+  auto cvt_row = [&](int yy) {  // u8 source row → f32 ring slot, once
+    const unsigned char* srow = src + (size_t)yy * src_stride;
+    float* trow = tmp.data() + (size_t)(yy % ring) * sw;
+    int j = 0;
+#if defined(VCD_AVX512_RESIZE)
+    for (; j + 16 <= sw; j += 16)
+      _mm512_storeu_ps(trow + j,
+                       _mm512_cvtepi32_ps(_mm512_cvtepu8_epi32(
+                           _mm_loadu_si128((const __m128i*)(srow + j)))));
+#elif defined(VCD_SIMD_RESIZE)
+    for (; j + 4 <= sw; j += 4) {
+      int four;
+      std::memcpy(&four, srow + j, 4);
+      _mm_storeu_ps(trow + j, _mm_cvtepi32_ps(_mm_cvtepu8_epi32(
+                                  _mm_cvtsi32_si128(four))));
+    }
+#endif
+    for (; j < sw; j++) trow[j] = srow[j];
+  };
+
+  for (int y = 0; y < dh; y++) {
+    const float* w = &fy.weights[(size_t)y * fy.ksize];
+    const int lo = fy.xmin[y];
+    const int n = fy.xsize[y];
+    while (next_src < lo + n && next_src < sh) cvt_row(next_src++);
+    {
+      const float w0 = w[0];
+      const float* s0 = tmp.data() + (size_t)(lo % ring) * sw;
+      for (int j = 0; j < sw; j++) vrow[j] = w0 * s0[j];
+    }
+    for (int k = 1; k < n; k++) {
+      const float wk = w[k];
+      const float* sk = tmp.data() + (size_t)((lo + k) % ring) * sw;
+      for (int j = 0; j < sw; j++) vrow[j] += wk * sk[j];
+    }
+    float* drow = dst + (size_t)y * dw;
+    for (int x = 0; x < dw; x++) {
+      const float* wx = &fx.weights[(size_t)x * fx.ksize];
+      const float* p = vrow + fx.xmin[x];
+      const int nx = fx.xsize[x];
+      float acc;
+      int k = 0;
+#if defined(VCD_AVX512_RESIZE) && defined(__AVX512VL__)
+      // Masked groups: downscale filters here have ksize ~7-13, so a
+      // full-width-only loop would never vectorize; masks keep every
+      // load inside the tap window.
+      __m512 a16 = _mm512_setzero_ps();
+      for (; k < nx; k += 16) {
+        const int rem = nx - k;
+        const __mmask16 m =
+            rem >= 16 ? (__mmask16)0xFFFF : (__mmask16)((1u << rem) - 1);
+        a16 = _mm512_fmadd_ps(_mm512_maskz_loadu_ps(m, wx + k),
+                              _mm512_maskz_loadu_ps(m, p + k), a16);
+      }
+      acc = _mm512_reduce_add_ps(a16);
+#elif defined(VCD_SIMD_RESIZE)
+      __m128 a4 = _mm_setzero_ps();
+      for (; k + 4 <= nx; k += 4)
+        a4 = _mm_fmadd_ps(_mm_loadu_ps(wx + k), _mm_loadu_ps(p + k), a4);
+      __m128 s = _mm_add_ps(a4, _mm_movehl_ps(a4, a4));
+      acc = _mm_cvtss_f32(_mm_add_ss(s, _mm_shuffle_ps(s, s, 1)));
+#else
+      acc = 0.f;
+#endif
+      for (; k < nx; k++) acc += wx[k] * p[k];
+      drow[x] = acc;
+    }
+  }
+}
+
+// f32 Y/U/V planes (already at target size) → packed RGB24 rows. BT.601,
+// limited (MPEG) or full (JPEG) range per the stream's color_range — the
+// same default matrix swscale applies to untagged 4:2:0 streams.
+void yuv_f32_planes_to_rgb(const float* Y, const float* U, const float* V,
+                           int h, int w, bool full_range, unsigned char* dst,
+                           size_t dst_row_stride) {
+  const float cy = full_range ? 1.0f : 255.0f / 219.0f;
+  const float yoff = full_range ? 0.0f : 16.0f;
+  const float s = full_range ? 1.0f : 255.0f / 224.0f;
+  const float crv = 1.402f * s;
+  const float cgu = 0.344136f * s;
+  const float cgv = 0.714136f * s;
+  const float cbu = 1.772f * s;
+  for (int row = 0; row < h; row++) {
+    const float* yp = Y + (size_t)row * w;
+    const float* up = U + (size_t)row * w;
+    const float* vp = V + (size_t)row * w;
+    unsigned char* d = dst + (size_t)row * dst_row_stride;
+    for (int x = 0; x < w; x++) {
+      const float yv = cy * (yp[x] - yoff);
+      const float uv = up[x] - 128.0f;
+      const float vv = vp[x] - 128.0f;
+      const float rgb[3] = {yv + crv * vv, yv - cgu * uv - cgv * vv,
+                            yv + cbu * uv};
+      for (int c = 0; c < 3; c++) {
+        const int q = (int)(rgb[c] + 0.5f);
+        d[x * 3 + c] = (unsigned char)(q < 0 ? 0 : (q > 255 ? 255 : q));
+      }
+    }
+  }
+}
+
 }  // namespace
 
 // ---------------------------------------------------------------------------
@@ -548,6 +699,25 @@ long vcd_decode(const char* path, const long* indices, long n_indices,
     fy = make_aa_filter(src_h, sc_h);
   }
 
+  // Planar-YUV fast path (g_fast_resize): applies when resizing into a
+  // bar-free-width canvas (direct_resize) or to a plain resize. Chroma is
+  // resampled straight from its half-resolution plane with filters built
+  // on the chroma grid — (i+0.5)-center construction makes the chroma taps
+  // land on exactly the same continuous luma positions as fx/fy, so the
+  // fold is geometry-exact for center-sited 4:2:0. Portrait bars
+  // (pad_w != 0) and non-4:2:0 frames fall back to the exact path.
+  const bool fast_geom = needs_resize && (direct_resize || !letterbox);
+  const bool fast_on =
+      g_fast_resize.load(std::memory_order_relaxed) != 0 && fast_geom;
+  AAFilter fxc, fyc;
+  static thread_local std::vector<float> fast_planes;
+  static thread_local std::vector<float> aa_tmp_plane;
+  if (fast_on) {
+    fxc = make_aa_filter((src_w + 1) / 2, sc_w);
+    fyc = make_aa_filter((src_h + 1) / 2, sc_h);
+    fast_planes.resize((size_t)3 * sc_h * sc_w);
+  }
+
   // Seek to the keyframe at/before the first wanted frame.
   int64_t first_pts = r.pts_of_frame(indices[0]);
   int ret = av_seek_frame(r.fmt, r.stream_index, first_pts, AVSEEK_FLAG_BACKWARD);
@@ -571,6 +741,40 @@ long vcd_decode(const char* path, const long* indices, long n_indices,
 
   auto convert_and_store = [&](AVFrame* f, long out_slot) {
     unsigned char* dst_frame = out + (size_t)out_slot * frame_bytes;
+    if (fast_on && (f->format == AV_PIX_FMT_YUV420P ||
+                    f->format == AV_PIX_FMT_YUVJ420P)) {
+      if (letterbox) {  // direct_resize ⇒ pad_w == 0: clear only the bars
+        ProfScope ps(3);
+        if (pad_h != 0) std::memset(dst_frame, 0, (size_t)pad_h * out_w * 3);
+        const size_t bottom = (size_t)(pad_h + sc_h) * out_w * 3;
+        if (bottom < frame_bytes)
+          std::memset(dst_frame + bottom, 0, frame_bytes - bottom);
+      }
+      float* py = fast_planes.data();
+      float* pu = py + (size_t)sc_h * sc_w;
+      float* pv = pu + (size_t)sc_h * sc_w;
+      {
+        ProfScope pr(2);
+        const int ch = (src_h + 1) / 2, cw = (src_w + 1) / 2;
+        resize_plane_aa_f32(f->data[0], src_h, src_w, (size_t)f->linesize[0],
+                            py, sc_h, sc_w, fx, fy, aa_tmp_plane);
+        resize_plane_aa_f32(f->data[1], ch, cw, (size_t)f->linesize[1], pu,
+                            sc_h, sc_w, fxc, fyc, aa_tmp_plane);
+        resize_plane_aa_f32(f->data[2], ch, cw, (size_t)f->linesize[2], pv,
+                            sc_h, sc_w, fxc, fyc, aa_tmp_plane);
+      }
+      {
+        ProfScope ps(1);  // color convert stays under the yuv→rgb slot
+        const bool full = f->format == AV_PIX_FMT_YUVJ420P ||
+                          f->color_range == AVCOL_RANGE_JPEG;
+        unsigned char* content =
+            dst_frame + (letterbox ? (size_t)pad_h * out_w * 3 : 0);
+        yuv_f32_planes_to_rgb(py, pu, pv, sc_h, sc_w, full, content,
+                              (size_t)out_w * 3);
+      }
+      prof_count(1);
+      return;
+    }
     uint8_t* nat_data[1] = {native_rgb.data()};
     int nat_linesize[1] = {(int)nat_stride};
     {

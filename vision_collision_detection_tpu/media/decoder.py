@@ -92,6 +92,8 @@ def _get_lib():
                 ]
                 lib.vcd_encode_open2.restype = ctypes.c_void_p
                 lib.vcd_set_skip_unneeded.argtypes = [ctypes.c_int]
+                lib.vcd_set_fast_resize.argtypes = [ctypes.c_int]
+                lib.vcd_get_fast_resize.restype = ctypes.c_int
                 lib.vcd_encode_append.argtypes = [
                     ctypes.c_void_p, ctypes.POINTER(ctypes.c_ubyte),
                     ctypes.c_long,
@@ -144,6 +146,7 @@ def decode_frames(
     target_size=None,
     letterbox: bool = True,
     pad_to_count: bool = True,
+    fast_resize: bool | None = None,
 ) -> np.ndarray:
     """Decode `indices` (ascending) → uint8 [len(indices), H, W, 3].
 
@@ -156,6 +159,8 @@ def decode_frames(
     raises MediaError if nothing decodes.
     """
     lib = _get_lib()
+    if fast_resize is not None:
+        lib.vcd_set_fast_resize(1 if fast_resize else 0)
     idx = np.ascontiguousarray(np.asarray(indices, dtype=np.int64))
     n = len(idx)
     if n == 0:
@@ -196,6 +201,7 @@ def decode_batch(
     target_size,
     letterbox: bool = True,
     num_threads: int = 0,
+    fast_resize: bool | None = None,
 ):
     """Decode a whole batch natively: the C++ thread pool fills one
     contiguous uint8 buffer with zero Python in the loop.
@@ -205,6 +211,8 @@ def decode_batch(
     with ok=False (the zero-fallback policy applied natively).
     """
     lib = _get_lib()
+    if fast_resize is not None:
+        lib.vcd_set_fast_resize(1 if fast_resize else 0)
     idx = np.ascontiguousarray(np.asarray(indices, dtype=np.int64))
     if idx.ndim != 2:
         raise ValueError(f"indices must be [B, T], got {idx.shape}")
@@ -269,6 +277,25 @@ def set_skip_unneeded(on: bool) -> None:
     only disposable frames outside the wanted index set are dropped; the
     toggle exists for tests and A/B decode-cost measurement."""
     _get_lib().vcd_set_skip_unneeded(1 if on else 0)
+
+
+def set_fast_resize(on: bool) -> None:
+    """Toggle the planar-YUV fast resize path (off by default).
+
+    When on, 4:2:0 frames are AA-resampled plane-by-plane at decoded
+    resolution (chroma straight from its half-res plane) and converted
+    YUV→RGB once at target resolution — ~2× cheaper per converted frame
+    than the exact convert-then-resize path, at the cost of exact
+    bit-parity with torchvision's resize (the difference is chroma
+    interpolation order + one dropped uint8 quantization; bounded by
+    tests/test_media.py, AUC-parity by ``scripts/parity_harness.py
+    --fast-resize``). Non-4:2:0 frames and portrait-bar letterboxing fall
+    back to the exact path automatically."""
+    _get_lib().vcd_set_fast_resize(1 if on else 0)
+
+
+def get_fast_resize() -> bool:
+    return bool(_get_lib().vcd_get_fast_resize())
 
 
 def encode_video(path: str, frames: np.ndarray, fps: float = 10.0,

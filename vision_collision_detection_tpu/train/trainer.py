@@ -128,6 +128,10 @@ class Trainer:
         pad_partial = getattr(self.strategy, "pad_batches", False)
         if dc.content_box_transfer:
             self._enable_content_box(train_ds, val_ds, test_ds)
+        if dc.fast_resize:
+            for ds in (train_ds, val_ds, test_ds):
+                if ds is not None:
+                    ds.fast_resize = True
         self.train_loader = ClipLoader(
             train_ds, per_host_batch, shuffle=True,
             drop_last=dc.drop_last_train, num_workers=dc.num_workers,
