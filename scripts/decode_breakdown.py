@@ -77,17 +77,17 @@ def _ensure_long_video() -> str:
     return path
 
 
-def profiled_decode(paths, indices, target, label):
+def profiled_decode(paths, indices, target, label, fast_resize=False):
     """Run the batch decode TRIALS times with stage profiling; median wall
     clock + the per-stage split of the LAST trial (stage ratios are stable
     across trials; wall uses the median)."""
     n = len(paths)
-    decode_batch(paths, indices, target)  # warm page cache
+    decode_batch(paths, indices, target, fast_resize=fast_resize)  # warm
     walls = []
     for _ in range(TRIALS):
         profile_decode(True)
         t0 = time.perf_counter()
-        decode_batch(paths, indices, target)
+        decode_batch(paths, indices, target, fast_resize=fast_resize)
         walls.append(time.perf_counter() - t0)
         prof = decode_profile()
         profile_decode(False)
@@ -163,6 +163,12 @@ def main() -> None:
     # Leg 1: the e2e bench's exact decode work (dense stride-2 sampling).
     idx = np.tile(np.arange(0, CLIP_FRAMES, 2, dtype=np.int64), (len(paths), 1))
     dense = profiled_decode(paths, idx, content, "dense stride-2")
+    # Leg 1b: the same work on the planar-YUV fast resize (the round-4
+    # headline pipeline) — the per-stage A/B behind bench.py's
+    # fast_resize_speedup.
+    dense_fast = profiled_decode(paths, idx, content,
+                                 "dense stride-2 fast-resize",
+                                 fast_resize=True)
 
     # Leg 2: sparse sampling on a long video — seek-ahead territory.
     long_path = _ensure_long_video()
@@ -213,6 +219,7 @@ def main() -> None:
 
     result = {
         "dense_stride2_32x720p": dense,
+        "dense_stride2_32x720p_fast_resize": dense_fast,
         "sparse_uniform_50of500_720p": sparse,
         "h264_bframes_stride2_8x720p": h264,
         "host_cores": os.cpu_count(),
