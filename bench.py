@@ -112,11 +112,16 @@ def ensure_fixtures() -> list:
     return paths
 
 
-def make_dataset(paths, repeats: int = 1):
+def make_dataset(paths, repeats: int = 1, fast_resize: bool = False):
     """repeats>1 replays the fixture set so throughput legs measure one
     CONTINUOUS loader stream (steady-state pipelining) instead of restarting
     the prefetch producer every 2-batch pass — the restart hole was ~15% of
-    the round-3 e2e leg."""
+    the round-3 e2e leg.
+
+    fast_resize: planar-YUV fast decode (the HEADLINE pipeline since round
+    4; AUC-parity evidence vs the torch reference transform is committed in
+    PARITY_FAST_r04.json). The exact path is still benched as an
+    interleaved diagnostic leg."""
     from vision_collision_detection_tpu.data.datasets import ClipDataset, ClipRecord
     from vision_collision_detection_tpu.ops.letterbox import letterbox_geometry
 
@@ -127,7 +132,8 @@ def make_dataset(paths, repeats: int = 1):
     content = (nh + nh % 2, nw + nw % 2)
     return ClipDataset(records, fps=CLIP_FPS, duration=CLIP_FRAMES // CLIP_FPS,
                        frame_size=FRAME_SIZE, sample_strategy="center",
-                       frame_stride=2, content_box=content)
+                       frame_stride=2, content_box=content,
+                       fast_resize=fast_resize)
 
 
 def build_forward():
@@ -346,11 +352,12 @@ def bench_decode_scaling(paths) -> dict:
     content = (nh + nh % 2, nw + nw % 2)
     n = min(len(paths), 16)
     idx = np.tile(np.arange(0, CLIP_FRAMES, 2, dtype=np.int64), (n, 1))
-    decode_batch(paths[:n], idx, content)  # warm page/file caches
+    decode_batch(paths[:n], idx, content, fast_resize=True)  # warm caches
     out = {}
     for threads in (1, 2, 4):
         t0 = time.perf_counter()
-        decode_batch(paths[:n], idx, content, num_threads=threads)
+        decode_batch(paths[:n], idx, content, num_threads=threads,
+                     fast_resize=True)
         dt = time.perf_counter() - t0
         out[f"pool_{threads}"] = round(n / dt, 3)
         log(f"decode-scaling pool={threads}: {n / dt:.2f} clips/s")
@@ -447,28 +454,38 @@ def main() -> None:
     paths = ensure_fixtures()
     cfg, forward = build_forward()
     warm_ds = make_dataset(paths)
-    ds = make_dataset(paths, repeats=PASSES)
+    ds_exact = make_dataset(paths, repeats=PASSES)
+    warm_fast = make_dataset(paths, fast_resize=True)
+    ds = make_dataset(paths, repeats=PASSES, fast_resize=True)
 
     device_med, device_trials = bench_device_only(forward, warm_ds)
 
-    # headline legs: interleaved trials (abcd abcd ...) so host load drift
-    # hits the decode ceiling, the numerator, and both baseline variants
-    # equally
-    decode_one = setup_decode_only(ds, warm_ds)
-    e2e_one = setup_tpu_pipeline(ds, warm_ds, forward)
+    # headline legs: interleaved trials (abcde abcde ...) so host load drift
+    # hits the decode ceiling, the numerator, the exact-path diagnostic leg,
+    # and both baseline variants equally. Headline pipeline = planar-YUV
+    # fast decode (AUC parity vs the torch reference: PARITY_FAST_r04.json);
+    # decode ceiling measured on the SAME mode; the exact path recorded as
+    # the interleaved A/B diagnostic.
+    decode_one = setup_decode_only(ds, warm_fast)
+    e2e_one = setup_tpu_pipeline(ds, warm_fast, forward)
+    e2e_exact_one = setup_tpu_pipeline(ds_exact, warm_ds, forward)
     base_one, base_batched_one = setup_reference_style(paths, cfg)
     decode_trials, e2e_trials, base_trials, base_b8_trials = [], [], [], []
+    e2e_exact_trials = []
     for t in range(HEADLINE_TRIALS):
         decode_trials.append(decode_one())
         log(f"decode-only trial {t}: {decode_trials[-1]:.2f} clips/s")
         e2e_trials.append(e2e_one())
         log(f"e2e tpu pipeline trial {t}: {e2e_trials[-1]:.2f} clips/s")
+        e2e_exact_trials.append(e2e_exact_one())
+        log(f"e2e exact-resize trial {t}: {e2e_exact_trials[-1]:.2f} clips/s")
         base_trials.append(base_one())
         log(f"reference-style trial {t}: {base_trials[-1]:.2f} clips/s")
         base_b8_trials.append(base_batched_one())
         log(f"reference-style B=8 trial {t}: {base_b8_trials[-1]:.2f} clips/s")
     decode_med = statistics.median(decode_trials)
     e2e_med = statistics.median(e2e_trials)
+    e2e_exact_med = statistics.median(e2e_exact_trials)
     base_b1_med = statistics.median(base_trials)
     base_b8_med = statistics.median(base_b8_trials)
     # headline denominator: the STRONGER baseline variant
@@ -525,6 +542,13 @@ def main() -> None:
             "device_trials": [round(r, 3) for r in device_trials],
             "e2e_trials": [round(r, 3) for r in e2e_trials],
             "e2e_spread": spread(e2e_trials),
+            "fast_resize": True,
+            "fast_resize_parity_artifact": "PARITY_FAST_r04.json",
+            "e2e_exact_resize_clips_per_s": round(e2e_exact_med, 3),
+            "e2e_exact_resize_trials": [round(r, 3)
+                                        for r in e2e_exact_trials],
+            "fast_resize_speedup": round(e2e_med / e2e_exact_med, 3)
+            if e2e_exact_med > 0 else None,
             "baseline_clips_per_s": round(base_med, 3),
             "baseline_variant_used": "B=8" if base_b8_med >= base_b1_med
             else "B=1",
