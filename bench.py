@@ -51,7 +51,9 @@ BATCH = 16
 PASSES = 4
 BASELINE_CLIPS = 32
 TRIALS = 3
-HEADLINE_TRIALS = 5  # interleaved e2e/baseline pairs
+HEADLINE_TRIALS = 7  # interleaved e2e/baseline cycles; median over 7 is
+# robust to the minute-scale host-speed drift this 1-core box exhibits
+# (each extra cycle costs ~2 min of bench wall time)
 
 # bf16 peak FLOP/s per chip for MFU estimates (public TPU specs)
 _PEAK_FLOPS = {
