@@ -435,3 +435,69 @@ class TestFastResize:
         assert not be["error"].any() and not bf["error"].any()
         d = np.abs(be["frames"].astype(np.int16) - bf["frames"].astype(np.int16))
         assert int(d.max()) <= 8
+
+    def test_per_call_flag_does_not_leak_to_global(self, textured_video):
+        """fast_resize is plumbed PER CALL into the C library (advisor
+        finding: the old implementation mutated a process-global as a side
+        effect, racing concurrent datasets and leaking the mode to later
+        default-mode callers)."""
+        from vision_collision_detection_tpu.media.decoder import (
+            get_fast_resize,
+            set_fast_resize,
+        )
+
+        set_fast_resize(False)
+        idx = list(range(0, 12, 2))
+        fast = decode_frames(textured_video, idx, target_size=112,
+                             letterbox=True, fast_resize=True)
+        # the per-call override must NOT have touched the global default
+        assert not get_fast_resize()
+        # a default-mode call right after the fast call takes the exact path
+        default_after = decode_frames(textured_video, idx, target_size=112,
+                                      letterbox=True)
+        exact = decode_frames(textured_video, idx, target_size=112,
+                              letterbox=True, fast_resize=False)
+        np.testing.assert_array_equal(default_after, exact)
+        assert np.abs(exact.astype(np.int16)
+                      - fast.astype(np.int16)).max() > 0
+
+    def test_global_default_still_honored_when_flag_is_none(
+            self, textured_video):
+        from vision_collision_detection_tpu.media.decoder import (
+            set_fast_resize,
+        )
+
+        idx = list(range(0, 12, 2))
+        fast = decode_frames(textured_video, idx, target_size=112,
+                             letterbox=True, fast_resize=True)
+        set_fast_resize(True)
+        try:
+            via_global = decode_frames(textured_video, idx, target_size=112,
+                                       letterbox=True)
+        finally:
+            set_fast_resize(False)
+        np.testing.assert_array_equal(via_global, fast)
+
+    def test_concurrent_mixed_modes_are_isolated(self, textured_video):
+        """Two threads decoding the same clip with OPPOSITE per-call modes
+        must each get their own path's pixels — the old global toggle made
+        the last setter win for all in-flight decodes."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        idx = list(range(0, 12, 2))
+        exact = decode_frames(textured_video, idx, target_size=112,
+                              letterbox=True, fast_resize=False)
+        fast = decode_frames(textured_video, idx, target_size=112,
+                             letterbox=True, fast_resize=True)
+
+        def run(mode):
+            return decode_frames(textured_video, idx, target_size=112,
+                                 letterbox=True, fast_resize=mode)
+
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            futs = [ex.submit(run, m) for m in
+                    (True, False, True, False) * 4]
+            results = [f.result() for f in futs]
+        for i, r in enumerate(results):
+            expected = fast if (i % 2 == 0) else exact
+            np.testing.assert_array_equal(r, expected)

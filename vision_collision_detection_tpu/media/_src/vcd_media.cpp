@@ -86,6 +86,10 @@ std::atomic<int> g_skip_unneeded{1};
 // weight-normalized resample in exact arithmetic); the A/B bound is pinned
 // by tests/test_media.py and AUC parity by scripts/parity_harness.py
 // --fast-resize.
+//
+// This global is only the DEFAULT: vcd_decode2/vcd_decode_batch2 take the
+// mode per call (fast_resize >= 0), so concurrent decodes with different
+// modes never race on it. The setter remains as a test/diagnostic hook.
 std::atomic<int> g_fast_resize{0};
 
 inline long long now_ns() {
@@ -180,6 +184,7 @@ struct Reader {
   int stream_index = -1;
   AVStream* stream = nullptr;
   double fps = 0.0;
+  bool cfr = false;  // constant-frame-rate sanity (gates pts→index tricks)
 
   ~Reader() {
     if (dec) avcodec_free_context(&dec);
@@ -221,6 +226,19 @@ struct Reader {
     AVRational r = stream->avg_frame_rate.num ? stream->avg_frame_rate
                                               : stream->r_frame_rate;
     fps = r.den ? av_q2d(r) : 0.0;
+    // CFR sanity: the non-ref skip and seek-ahead both key decisions off a
+    // pts→frame-index mapping that assumes constant frame rate. On VFR
+    // streams that mapping can mark a WANTED disposable frame unwanted and
+    // silently replace it via the '<=' catch — so both optimizations are
+    // gated off unless avg_frame_rate and r_frame_rate agree (the standard
+    // container-level CFR signal; VFR muxers record a lower average than
+    // the nominal tick rate).
+    if (stream->avg_frame_rate.num > 0 && stream->avg_frame_rate.den > 0 &&
+        stream->r_frame_rate.num > 0 && stream->r_frame_rate.den > 0) {
+      double a = av_q2d(stream->avg_frame_rate);
+      double b = av_q2d(stream->r_frame_rate);
+      cfr = std::abs(a - b) <= 1e-3 * std::max(a, b);
+    }
     return true;
   }
 
@@ -341,11 +359,14 @@ AAFilter make_aa_filter(int in_size, int out_size) {
 // SIMD layout: the horizontal pass emits RGBx (4 floats/pixel) so one
 // FMA covers all channels of a tap; the vertical pass is an axpy over
 // whole rows (the compiler vectorizes it to the full register width —
-// AVX-512 on this class of host). Per-channel accumulation ORDER is
-// identical to the scalar reference (sequential over taps, mul+add
-// contracted to fma either way), so the uint8 output is unchanged — the
-// torch-parity tests (tests/test_content_box.py::
-// test_cpp_resampler_matches_torch_antialias) pin this.
+// AVX-512 on this class of host). Accuracy contract: the AVX-512 and SSE
+// bodies use multi-accumulator/pairwise combines that REORDER the float
+// tap sum relative to the scalar reference (a ~1e-7-level perturbation),
+// so a value sitting exactly on a .5 rounding boundary can differ by
+// 1 LSB across SIMD variants — the guarantee is ≤1 LSB vs the scalar
+// path, bounded end-to-end by the 0.5/255-tolerance torch-parity test
+// (tests/test_content_box.py::test_cpp_resampler_matches_torch_antialias).
+// Downstream code must not assume bit-exactness across SIMD variants.
 //
 // Contract: each src row must be readable for sw*3 + 4 bytes (the AVX-512
 // 16-byte group load reads up to 4 bytes past the last tap's pixel; the
@@ -634,9 +655,12 @@ int vcd_probe(const char* path, VcdProbe* out) {
 // Returns number of frames written (frames past EOF are left for the caller
 // to pad), or -1 on error.
 // ---------------------------------------------------------------------------
-long vcd_decode(const char* path, const long* indices, long n_indices,
-                int target_w, int target_h, int letterbox,
-                unsigned char* out) {
+// fast_resize < 0 → use the process-global default (g_fast_resize);
+// 0/1 → per-call override, safe under concurrent decodes with different
+// modes (the global-toggle race was an advisor finding).
+long vcd_decode2(const char* path, const long* indices, long n_indices,
+                 int target_w, int target_h, int letterbox, int fast_resize,
+                 unsigned char* out) {
   if (n_indices <= 0) return 0;
   for (long i = 1; i < n_indices; i++) {
     if (indices[i] < indices[i - 1]) {
@@ -707,8 +731,10 @@ long vcd_decode(const char* path, const long* indices, long n_indices,
   // fold is geometry-exact for center-sited 4:2:0. Portrait bars
   // (pad_w != 0) and non-4:2:0 frames fall back to the exact path.
   const bool fast_geom = needs_resize && (direct_resize || !letterbox);
-  const bool fast_on =
-      g_fast_resize.load(std::memory_order_relaxed) != 0 && fast_geom;
+  const bool fast_requested =
+      fast_resize >= 0 ? fast_resize != 0
+                       : g_fast_resize.load(std::memory_order_relaxed) != 0;
+  const bool fast_on = fast_requested && fast_geom;
   AAFilter fxc, fyc;
   static thread_local std::vector<float> fast_planes;
   static thread_local std::vector<float> aa_tmp_plane;
@@ -736,8 +762,10 @@ long vcd_decode(const char* path, const long* indices, long n_indices,
   // decoder — i.e. macroblock decodes actually saved. Marked frames that DO
   // appear (they were reference frames) are decremented on arrival.
   long skipped_nonref = 0;
+  // CFR-gated (see Reader::open): on VFR streams the pts→index mapping
+  // that drives skip marking can misclassify a wanted disposable frame.
   const bool skip_unneeded =
-      g_skip_unneeded.load(std::memory_order_relaxed) != 0;
+      g_skip_unneeded.load(std::memory_order_relaxed) != 0 && r.cfr;
 
   auto convert_and_store = [&](AVFrame* f, long out_slot) {
     unsigned char* dst_frame = out + (size_t)out_slot * frame_bytes;
@@ -857,7 +885,8 @@ long vcd_decode(const char* path, const long* indices, long n_indices,
     // seek that lands BEHIND the current position, and `sought_want`
     // caps the loop at one seek per wanted index so a mispredicted
     // landing degrades to linear decode instead of a re-seek cycle.
-    if (!just_sought && cur_fidx >= 0 && indices[want_pos] != sought_want) {
+    if (r.cfr && !just_sought && cur_fidx >= 0 &&
+        indices[want_pos] != sought_want) {
       ProfScope pd(0);
       long kf = r.keyframe_before(indices[want_pos]);
       long margin = r.dec->has_b_frames;
@@ -945,6 +974,13 @@ long vcd_decode(const char* path, const long* indices, long n_indices,
   return want_pos;
 }
 
+long vcd_decode(const char* path, const long* indices, long n_indices,
+                int target_w, int target_h, int letterbox,
+                unsigned char* out) {
+  return vcd_decode2(path, indices, n_indices, target_w, target_h, letterbox,
+                     /*fast_resize=*/-1, out);
+}
+
 // ---------------------------------------------------------------------------
 // Batch decode: B clips in parallel on an internal std::thread pool — the
 // native data-loader worker replacing the reference's torch DataLoader
@@ -955,10 +991,10 @@ long vcd_decode(const char* path, const long* indices, long n_indices,
 // /root/reference/nexar_videos.py:429-435); per-clip status lands in
 // frames_written (-1 on error → caller applies its zero-fallback).
 // ---------------------------------------------------------------------------
-long vcd_decode_batch(const char** paths, long n_clips, const long* indices,
-                      long n_per_clip, int target_w, int target_h,
-                      int letterbox, int n_threads, unsigned char* out,
-                      long* frames_written) {
+long vcd_decode_batch2(const char** paths, long n_clips, const long* indices,
+                       long n_per_clip, int target_w, int target_h,
+                       int letterbox, int fast_resize, int n_threads,
+                       unsigned char* out, long* frames_written) {
   if (n_clips <= 0 || n_per_clip <= 0) {
     set_error("empty batch");
     return -1;
@@ -972,8 +1008,9 @@ long vcd_decode_batch(const char** paths, long n_clips, const long* indices,
       long i = next.fetch_add(1);
       if (i >= n_clips) break;
       unsigned char* dst = out + (size_t)i * clip_bytes;
-      long got = vcd_decode(paths[i], indices + (size_t)i * n_per_clip,
-                            n_per_clip, target_w, target_h, letterbox, dst);
+      long got = vcd_decode2(paths[i], indices + (size_t)i * n_per_clip,
+                             n_per_clip, target_w, target_h, letterbox,
+                             fast_resize, dst);
       if (got <= 0) {
         std::memset(dst, 0, clip_bytes);
         frames_written[i] = -1;
@@ -996,6 +1033,15 @@ long vcd_decode_batch(const char** paths, long n_clips, const long* indices,
   worker();
   for (auto& th : pool) th.join();
   return 0;
+}
+
+long vcd_decode_batch(const char** paths, long n_clips, const long* indices,
+                      long n_per_clip, int target_w, int target_h,
+                      int letterbox, int n_threads, unsigned char* out,
+                      long* frames_written) {
+  return vcd_decode_batch2(paths, n_clips, indices, n_per_clip, target_w,
+                           target_h, letterbox, /*fast_resize=*/-1,
+                           n_threads, out, frames_written);
 }
 
 // ---------------------------------------------------------------------------
@@ -1072,17 +1118,25 @@ void* vcd_encode_open2(const char* path, int w, int h, double fps,
     encoder_free(e);
     return nullptr;
   }
+  auto fail = [&](const std::string& msg) -> void* {
+    set_error(msg);
+    encoder_free(e);
+    return nullptr;
+  };
   e->stream = avformat_new_stream(e->fmt, nullptr);
+  if (!e->stream) return fail("avformat_new_stream failed");
   e->enc = avcodec_alloc_context3(codec);
+  if (!e->enc) return fail("avcodec_alloc_context3 failed");
   e->enc->width = w;
   e->enc->height = h;
   e->enc->pix_fmt = AV_PIX_FMT_YUV420P;
   AVRational fr = av_d2q(fps, 1000000);
   e->enc->time_base = av_inv_q(fr);
   e->enc->framerate = fr;
-  if (crf >= 0.0)
-    av_opt_set_double(e->enc->priv_data, "crf", crf, 0);
-  else
+  // crf is an x264-family private option; on encoders without it,
+  // av_opt_set_double fails — fall back to bit-rate mode instead of
+  // silently leaving bit_rate at 0 (advisor finding).
+  if (crf < 0.0 || av_opt_set_double(e->enc->priv_data, "crf", crf, 0) < 0)
     e->enc->bit_rate = (int64_t)w * h * 8;
   if (preset && preset[0])
     av_opt_set(e->enc->priv_data, "preset", preset, 0);
@@ -1090,11 +1144,6 @@ void* vcd_encode_open2(const char* path, int w, int h, double fps,
   if (max_b_frames >= 0) e->enc->max_b_frames = max_b_frames;
   if (e->fmt->oformat->flags & AVFMT_GLOBALHEADER)
     e->enc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
-  auto fail = [&](const std::string& msg) -> void* {
-    set_error(msg);
-    encoder_free(e);
-    return nullptr;
-  };
   if ((ret = avcodec_open2(e->enc, codec, nullptr)) < 0)
     return fail("encoder open failed: " + av_err(ret));
   avcodec_parameters_from_context(e->stream->codecpar, e->enc);
@@ -1108,12 +1157,16 @@ void* vcd_encode_open2(const char* path, int w, int h, double fps,
     return fail("write_header failed: " + av_err(ret));
   e->sws = sws_getContext(w, h, AV_PIX_FMT_RGB24, w, h, AV_PIX_FMT_YUV420P,
                           SWS_BILINEAR, nullptr, nullptr, nullptr);
+  if (!e->sws) return fail("encoder sws_getContext failed");
   e->yuv = av_frame_alloc();
+  if (!e->yuv) return fail("av_frame_alloc failed");
   e->yuv->format = AV_PIX_FMT_YUV420P;
   e->yuv->width = w;
   e->yuv->height = h;
-  av_frame_get_buffer(e->yuv, 0);
+  if ((ret = av_frame_get_buffer(e->yuv, 0)) < 0)
+    return fail("av_frame_get_buffer failed: " + av_err(ret));
   e->pkt = av_packet_alloc();
+  if (!e->pkt) return fail("av_packet_alloc failed");
   return e;
 }
 

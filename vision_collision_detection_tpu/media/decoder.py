@@ -48,17 +48,18 @@ def _get_lib():
                 lib = ctypes.CDLL(ensure_built())
                 lib.vcd_probe.argtypes = [ctypes.c_char_p, ctypes.POINTER(_Probe)]
                 lib.vcd_probe.restype = ctypes.c_int
-                lib.vcd_decode.argtypes = [
+                lib.vcd_decode2.argtypes = [
                     ctypes.c_char_p,
                     ctypes.POINTER(ctypes.c_long),
                     ctypes.c_long,
                     ctypes.c_int,
                     ctypes.c_int,
                     ctypes.c_int,
+                    ctypes.c_int,  # fast_resize: -1 global / 0 / 1
                     ctypes.POINTER(ctypes.c_ubyte),
                 ]
-                lib.vcd_decode.restype = ctypes.c_long
-                lib.vcd_decode_batch.argtypes = [
+                lib.vcd_decode2.restype = ctypes.c_long
+                lib.vcd_decode_batch2.argtypes = [
                     ctypes.POINTER(ctypes.c_char_p),
                     ctypes.c_long,
                     ctypes.POINTER(ctypes.c_long),
@@ -66,11 +67,12 @@ def _get_lib():
                     ctypes.c_int,
                     ctypes.c_int,
                     ctypes.c_int,
+                    ctypes.c_int,  # fast_resize: -1 global / 0 / 1
                     ctypes.c_int,
                     ctypes.POINTER(ctypes.c_ubyte),
                     ctypes.POINTER(ctypes.c_long),
                 ]
-                lib.vcd_decode_batch.restype = ctypes.c_long
+                lib.vcd_decode_batch2.restype = ctypes.c_long
                 lib.vcd_encode.argtypes = [
                     ctypes.c_char_p,
                     ctypes.POINTER(ctypes.c_ubyte),
@@ -157,10 +159,12 @@ def decode_frames(
     callers ship only content rows and pad to square on-device (transfer
     optimization). Frames past EOF are padded with the last decoded frame;
     raises MediaError if nothing decodes.
+
+    ``fast_resize`` is passed PER CALL into the C library (None → the
+    process-global default set by :func:`set_fast_resize`), so concurrent
+    decodes with different modes are thread-safe — no global toggling.
     """
     lib = _get_lib()
-    if fast_resize is not None:
-        lib.vcd_set_fast_resize(1 if fast_resize else 0)
     idx = np.ascontiguousarray(np.asarray(indices, dtype=np.int64))
     n = len(idx)
     if n == 0:
@@ -175,13 +179,14 @@ def decode_frames(
         h, w = info.height, info.width
         letterbox = False
     out = np.empty((n, h, w, 3), dtype=np.uint8)
-    got = lib.vcd_decode(
+    got = lib.vcd_decode2(
         path.encode(),
         idx.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
         n,
         w if target_size is not None else 0,
         h if target_size is not None else 0,
         1 if letterbox else 0,
+        -1 if fast_resize is None else (1 if fast_resize else 0),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
     )
     if got < 0:
@@ -209,10 +214,10 @@ def decode_batch(
     indices: int64 [B, T] (ascending per row). target_size: int or (h, w).
     → (frames uint8 [B, T, h, w, 3], ok bool [B]); failed clips are zeroed
     with ok=False (the zero-fallback policy applied natively).
+    ``fast_resize`` is per-call (None → process-global default), thread-safe
+    under concurrent batches with different modes.
     """
     lib = _get_lib()
-    if fast_resize is not None:
-        lib.vcd_set_fast_resize(1 if fast_resize else 0)
     idx = np.ascontiguousarray(np.asarray(indices, dtype=np.int64))
     if idx.ndim != 2:
         raise ValueError(f"indices must be [B, T], got {idx.shape}")
@@ -226,10 +231,12 @@ def decode_batch(
     out = np.empty((b, t, h, w, 3), dtype=np.uint8)
     written = np.empty((b,), dtype=np.int64)
     c_paths = (ctypes.c_char_p * b)(*[p.encode() for p in paths])
-    rc = lib.vcd_decode_batch(
+    rc = lib.vcd_decode_batch2(
         c_paths, b,
         idx.ctypes.data_as(ctypes.POINTER(ctypes.c_long)), t,
-        w, h, 1 if letterbox else 0, int(num_threads),
+        w, h, 1 if letterbox else 0,
+        -1 if fast_resize is None else (1 if fast_resize else 0),
+        int(num_threads),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
         written.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
     )
@@ -280,7 +287,11 @@ def set_skip_unneeded(on: bool) -> None:
 
 
 def set_fast_resize(on: bool) -> None:
-    """Toggle the planar-YUV fast resize path (off by default).
+    """Set the process-global DEFAULT for the planar-YUV fast resize path
+    (off by default). Kept as a test/diagnostic hook only — production
+    callers (datasets, bench, parity harness) pass ``fast_resize`` per call
+    into decode_frames/decode_batch, which overrides this default and is
+    thread-safe under concurrent decodes with different modes.
 
     When on, 4:2:0 frames are AA-resampled plane-by-plane at decoded
     resolution (chroma straight from its half-res plane) and converted
