@@ -39,3 +39,23 @@ def test_forward_compat_ignores_unknown_dict_keys():
     d["model"]["legacy_field"] = 123
     cfg = ExperimentConfig.from_dict(d)
     assert cfg.model.backbone == "convnext_tiny"
+
+
+def test_validate_rejects_bad_attention_impl():
+    from vision_collision_detection_tpu.config import ExperimentConfig
+
+    import pytest
+
+    cfg = ExperimentConfig()
+    cfg.model.attention_impl = "flsh"  # the advisor's typo scenario
+    with pytest.raises(ValueError, match="attention_impl"):
+        cfg.validate()
+
+
+def test_validate_accepts_both_attention_impls():
+    from vision_collision_detection_tpu.config import ExperimentConfig
+
+    for impl in ("xla", "flash"):
+        cfg = ExperimentConfig()
+        cfg.model.attention_impl = impl
+        cfg.validate()

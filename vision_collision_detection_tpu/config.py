@@ -308,6 +308,14 @@ class ExperimentConfig:
             )
         if self.data.num_classes != self.model.num_classes:
             raise ValueError("data.num_classes must match model.num_classes")
+        if self.model.attention_impl not in ("xla", "flash"):
+            # A typo here would otherwise fall through TransformerBlock's
+            # else-branch onto the XLA path while the user believes flash
+            # attention is on (advisor finding).
+            raise ValueError(
+                f"attention_impl {self.model.attention_impl!r} not in "
+                "('xla', 'flash')"
+            )
         if self.augment.affine_mode == "separable":
             # The two-pass matmul warp factors through 1/m11 ∝
             # 1/cos(rotation+shear) (ops/affine.py:123-126); keep the
