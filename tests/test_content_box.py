@@ -183,3 +183,54 @@ def test_cpp_resampler_matches_torch_antialias(video_120x160):
     d = np.abs(got - ref[2:2 + got.shape[0]])
     assert d.max() <= 0.5 / 255 + 1e-6, f"max diff {d.max()}"
     assert d.mean() < 1e-3
+
+def test_trainer_logs_when_probe_failure_disables_content_box(
+        tmp_path, monkeypatch):
+    """The probe-failure fallback must be LOUD: a run silently losing the
+    content-box optimization is invisible in throughput triage otherwise
+    (round-4 verdict #8 — the sibling mixed-aspect branch already logs)."""
+    import pandas as pd
+
+    import vision_collision_detection_tpu.media.decoder as dec
+    from vision_collision_detection_tpu.config import ExperimentConfig
+    from vision_collision_detection_tpu.data import (
+        create_datasets_with_manual_split,
+    )
+    from vision_collision_detection_tpu.train import Trainer
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(4):
+        p = str(tmp_path / f"v{i}.mp4")
+        encode_video(p, (rng.random((8, 120, 160, 3)) * 255).astype(np.uint8),
+                     fps=4.0)
+        rows.append({"id": f"v{i}", "video_path": p,
+                     "video_type": ["Normal", "Collision"][i % 2],
+                     "split": ["train", "train", "val", "test"][i],
+                     "sensor_path": ""})
+    train, val, test = create_datasets_with_manual_split(
+        pd.DataFrame(rows), fps=4, duration=1, frame_size=32)
+
+    def broken_probe(path):
+        raise RuntimeError("probe exploded")
+
+    monkeypatch.setattr(dec, "probe", broken_probe)
+    cfg = ExperimentConfig().override({
+        "model.backbone": "resnet18", "model.temporal_mode": "pooling",
+        "model.dtype": "float32", "model.num_classes": 2,
+        "data.num_classes": 2, "data.class_names": ("Normal", "Collision"),
+        "data.fps": 4, "data.duration": 1, "data.frame_size": 32,
+        "data.batch_size": 2, "data.num_workers": 2,
+        "data.content_box_transfer": True,
+        "train.epochs": 1, "train.validation_freq": 0,
+        "train.log_every_steps": 0, "train.dashboard": False,
+        "augment.enabled": False, "augment.horizontal_flip_prob": 0.0,
+        "augment.blur_sigma": 0.0,
+    })
+    run_dir = str(tmp_path / "run")
+    tr = Trainer(cfg, train, val, test, run_dir=run_dir)
+    assert train.content_box is None
+    with open(f"{run_dir}/training.log") as f:
+        log_text = f.read()
+    assert "content-box transfer disabled" in log_text
+    assert "probe exploded" in log_text

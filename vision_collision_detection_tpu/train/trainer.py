@@ -223,7 +223,11 @@ class Trainer:
                 "%s — falling back to square decode", sorted(geoms),
             )
             return
-        except Exception:
+        except Exception as e:
+            self.log.warning(
+                "content-box transfer disabled: probing failed (%s: %s) — "
+                "falling back to square decode", type(e).__name__, e,
+            )
             return
         if not geoms:
             return
