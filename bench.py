@@ -176,11 +176,39 @@ def _median_trials(fn, trials: int = TRIALS, label: str = "") -> tuple:
     return statistics.median(rates), rates
 
 
-def ensure_fixtures() -> list:
+def _fixture_frames(rng, i: int) -> np.ndarray:
+    frames = np.zeros((CLIP_FRAMES, SRC_H, SRC_W, 3), np.uint8)
+    base = rng.integers(20, 100, size=3)
+    frames[:] = base
+    for t in range(CLIP_FRAMES):
+        size = 80 + t * 8
+        y = (SRC_H - size) // 2 + int(40 * np.sin(t / 6))
+        x = (SRC_W - size) // 2 + int(60 * np.cos(t / 8))
+        y = max(0, min(SRC_H - size, y))
+        x = max(0, min(SRC_W - size, x))
+        frames[t, y:y + size, x:x + size] = (200, 80 + i % 100, 60)
+        # block noise so the codec can't trivially skip macroblocks
+        # (int16 accumulate + clip: uint8 += wraps near-255 pixels)
+        noise = rng.integers(0, 30,
+                             size=(SRC_H // 8, SRC_W // 8, 3)).astype(np.int16)
+        block = np.kron(noise, np.ones((8, 8, 1), np.int16))
+        frames[t] = np.clip(frames[t].astype(np.int16) + block,
+                            0, 255).astype(np.uint8)
+    return frames
+
+
+def ensure_fixtures(h264: bool = False) -> list:
+    """Synthetic 720p dashcam-like fixtures. Default codec is mpeg4
+    (cheap all-reference streams). ``h264=True`` encodes the SAME pixels as
+    H.264 with disposable B-frames (libx264, bframes=2, 1-s GOP) — the codec
+    family real dashcams emit, where the decoder's non-ref skip actually
+    engages (round-4 verdict: the mpeg4 headline left that path inert)."""
     from vision_collision_detection_tpu.media.decoder import encode_video, probe
 
     os.makedirs(CACHE_DIR, exist_ok=True)
-    paths = [os.path.join(CACHE_DIR, f"clip_{i:03d}.mp4") for i in range(NUM_CLIPS)]
+    tag = "h264_" if h264 else ""
+    paths = [os.path.join(CACHE_DIR, f"clip_{tag}{i:03d}.mp4")
+             for i in range(NUM_CLIPS)]
     rng = np.random.default_rng(0)
     for i, p in enumerate(paths):
         if os.path.exists(p):
@@ -189,25 +217,13 @@ def ensure_fixtures() -> list:
                     continue
             except Exception:
                 pass
-        frames = np.zeros((CLIP_FRAMES, SRC_H, SRC_W, 3), np.uint8)
-        base = rng.integers(20, 100, size=3)
-        frames[:] = base
-        for t in range(CLIP_FRAMES):
-            size = 80 + t * 8
-            y = (SRC_H - size) // 2 + int(40 * np.sin(t / 6))
-            x = (SRC_W - size) // 2 + int(60 * np.cos(t / 8))
-            y = max(0, min(SRC_H - size, y))
-            x = max(0, min(SRC_W - size, x))
-            frames[t, y:y + size, x:x + size] = (200, 80 + i % 100, 60)
-            # block noise so the codec can't trivially skip macroblocks
-            # (int16 accumulate + clip: uint8 += wraps near-255 pixels)
-            noise = rng.integers(0, 30,
-                                 size=(SRC_H // 8, SRC_W // 8, 3)).astype(np.int16)
-            block = np.kron(noise, np.ones((8, 8, 1), np.int16))
-            frames[t] = np.clip(frames[t].astype(np.int16) + block,
-                                0, 255).astype(np.uint8)
-        encode_video(p, frames, fps=CLIP_FPS)
-        log(f"encoded fixture {i + 1}/{NUM_CLIPS}")
+        frames = _fixture_frames(rng, i)
+        if h264:
+            encode_video(p, frames, fps=CLIP_FPS, codec="libx264",
+                         gop=CLIP_FPS, bframes=2, crf=23, preset="veryfast")
+        else:
+            encode_video(p, frames, fps=CLIP_FPS)
+        log(f"encoded {'h264 ' if h264 else ''}fixture {i + 1}/{NUM_CLIPS}")
     return paths
 
 
