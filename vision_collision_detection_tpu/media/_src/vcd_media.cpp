@@ -157,6 +157,12 @@ int vcd_get_fast_resize() {
   return g_fast_resize.load(std::memory_order_relaxed);
 }
 
+// libav log verbosity (AV_LOG_QUIET=-8 .. AV_LOG_DEBUG=48). The Python
+// loader defaults this to AV_LOG_ERROR so encoder info banners (x264
+// prints ~20 lines per open at AV_LOG_INFO) do not pollute bench/driver
+// output; pass a higher level to re-enable for debugging.
+void vcd_set_log_level(int level) { av_log_set_level(level); }
+
 void vcd_profile_reset() {
   for (auto& a : g_prof_ns) a.store(0, std::memory_order_relaxed);
   for (auto& a : g_prof_ct) a.store(0, std::memory_order_relaxed);

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import ctypes
 import dataclasses
+import os
 import threading
 from typing import Sequence
 
@@ -110,6 +111,11 @@ def _get_lib():
                     ctypes.POINTER(ctypes.c_longlong),
                     ctypes.c_int,
                 ]
+                lib.vcd_set_log_level.argtypes = [ctypes.c_int]
+                # Default libav to errors-only: x264 prints a ~20-line
+                # info banner per encoder open, which would drown bench
+                # and training logs. VCD_AV_LOG overrides (e.g. 32=info).
+                lib.vcd_set_log_level(int(os.environ.get("VCD_AV_LOG", 16)))
                 _lib = lib
     return _lib
 
