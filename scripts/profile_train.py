@@ -252,6 +252,10 @@ def main():
     ap.add_argument("--dwconv", choices=["config", "pallas", "lax"],
                     default="config",
                     help="override the ConvNeXt depthwise-conv path")
+    ap.add_argument("--fused-mlp", choices=["config", "on", "off"],
+                    default="config",
+                    help="override the fused LN+MLP+scale+residual Pallas "
+                         "kernel (ops/convnext_mlp_pallas.py) for A/Bs")
     ap.add_argument("--no-trace", action="store_true")
     ap.add_argument("--parse-only", action="store_true",
                     help="re-parse an existing trace dir into --output "
@@ -291,9 +295,16 @@ def main():
         model_kw["gelu_approximate"] = args.gelu == "approx"
     cfg = dataclasses.replace(cfg, model=dataclasses.replace(
         cfg.model, **model_kw))
+    # Override via the ops-module toggles (read at call time) — assigning
+    # flax module class attributes does NOT change dataclass __init__
+    # defaults, so the old `cn.ConvNeXt.dwconv_pallas = ...` form was a
+    # silent no-op.
     if args.dwconv != "config":
-        import vision_collision_detection_tpu.models.backbones.convnext as cn
-        cn.ConvNeXt.dwconv_pallas = args.dwconv == "pallas"
+        from vision_collision_detection_tpu.ops import dwconv_pallas
+        dwconv_pallas.PALLAS_DWCONV_DEFAULT = args.dwconv == "pallas"
+    if args.fused_mlp != "config":
+        from vision_collision_detection_tpu.ops import convnext_mlp_pallas
+        convnext_mlp_pallas.FUSED_MLP_DEFAULT = args.fused_mlp == "on"
     log(f"gelu_approximate={cfg.model.gelu_approximate} "
         f"platform={jax.devices()[0].platform}")
 

@@ -16,10 +16,42 @@ import jax
 import jax.numpy as jnp
 
 from vision_collision_detection_tpu.models.backbones import BACKBONE_REGISTRY
-from vision_collision_detection_tpu.ops.dwconv_pallas import (
-    PALLAS_DWCONV_DEFAULT,
-    dwconv7x7,
+# module (not from-import) references: the *_DEFAULT toggles are read at
+# call time so A/B harnesses (scripts/profile_train.py) can flip them by
+# mutating the ops modules — flax module dataclass defaults are baked at
+# class creation, so class-attribute assignment cannot override them.
+from vision_collision_detection_tpu.ops import convnext_mlp_pallas as _fused
+from vision_collision_detection_tpu.ops import dwconv_pallas as _dw
+from vision_collision_detection_tpu.ops.convnext_mlp_pallas import (
+    convnext_mlp_block,
 )
+from vision_collision_detection_tpu.ops.dwconv_pallas import dwconv7x7
+
+
+class _LayerNormParams(nn.Module):
+    """Declares {scale, bias} with nn.LayerNorm's tree/init and returns the
+    raw values — lets the fused-MLP path consume params that stay
+    checkpoint-identical to the unfused nn.LayerNorm path."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones, (self.dim,)),
+                self.param("bias", nn.initializers.zeros, (self.dim,)))
+
+
+class _DenseParams(nn.Module):
+    """{kernel, bias} with nn.Dense's tree/init, returned as raw values."""
+
+    in_dim: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("kernel", nn.initializers.lecun_normal(),
+                           (self.in_dim, self.out_dim)),
+                self.param("bias", nn.initializers.zeros, (self.out_dim,)))
 
 
 class DwConv7x7(nn.Module):
@@ -51,6 +83,11 @@ class ConvNeXtBlock(nn.Module):
     # None = module default (XLA path; the pallas kernel measured slower —
     # see ops/dwconv_pallas.py); explicit bool overrides for experiments
     dwconv_pallas: Any = None
+    # None = module default (ops/convnext_mlp_pallas.FUSED_MLP_DEFAULT):
+    # the fused LN+MLP+scale+residual Pallas kernel. Falls back to the
+    # unfused path when stochastic depth is active (the residual add must
+    # stay outside the kernel for per-sample drop masks).
+    fused_mlp: Any = None
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -58,22 +95,46 @@ class ConvNeXtBlock(nn.Module):
         shortcut = x
         # depthwise 7x7
         use_pallas = (self.dwconv_pallas if self.dwconv_pallas is not None
-                      else PALLAS_DWCONV_DEFAULT)
+                      else _dw.PALLAS_DWCONV_DEFAULT)
         if use_pallas:
             y = DwConv7x7(dim=self.dim, dtype=self.dtype, name="dwconv")(x)
         else:
             y = nn.Conv(self.dim, (7, 7), padding=3,
                         feature_group_count=self.dim,
                         dtype=self.dtype, name="dwconv")(x)
+        gamma = self.param(
+            "gamma", nn.initializers.constant(self.layer_scale_init), (self.dim,)
+        )
+        # Explicit fused_mlp=True/False always wins (tests, experiments).
+        # The module default additionally gates on channel count: at
+        # stage-0/1 dims both impls are HBM-bound and XLA is faster; the
+        # kernel wins from C>=FUSED_MLP_MIN_DIM (measured per-stage in
+        # scripts/bench_fused_mlp.py).
+        if self.fused_mlp is not None:
+            use_fused = bool(self.fused_mlp)
+        else:
+            use_fused = (_fused.FUSED_MLP_DEFAULT
+                         and self.dim >= _fused.FUSED_MLP_MIN_DIM)
+        drop_path_active = train and self.drop_path_rate > 0.0
+        if use_fused and not drop_path_active:
+            ln_scale, ln_bias = _LayerNormParams(dim=self.dim, name="norm")()
+            w1, b1 = _DenseParams(in_dim=self.dim, out_dim=4 * self.dim,
+                                  name="pwconv1")()
+            w2, b2 = _DenseParams(in_dim=4 * self.dim, out_dim=self.dim,
+                                  name="pwconv2")()
+            # shortcut keeps its own dtype: the unfused path's residual add
+            # promotes (f32 shortcut + bf16 branch → f32), and the kernel
+            # writes its output in shortcut dtype to match.
+            return convnext_mlp_block(
+                shortcut, y.astype(self.dtype),
+                ln_scale, ln_bias, w1, b1, w2, b2, gamma,
+                self.gelu_approximate)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(y)
         y = nn.Dense(4 * self.dim, dtype=self.dtype, name="pwconv1")(y)
         y = nn.gelu(y, approximate=self.gelu_approximate)
         y = nn.Dense(self.dim, dtype=self.dtype, name="pwconv2")(y)
-        gamma = self.param(
-            "gamma", nn.initializers.constant(self.layer_scale_init), (self.dim,)
-        )
         y = y * gamma.astype(self.dtype)
-        if train and self.drop_path_rate > 0.0:
+        if drop_path_active:
             keep = 1.0 - self.drop_path_rate
             rng = self.make_rng("dropout")
             mask = jax.random.bernoulli(rng, keep, (y.shape[0], 1, 1, 1))
@@ -94,6 +155,7 @@ class ConvNeXt(nn.Module):
     apply_head_norm: bool = True
     gelu_approximate: bool = False
     dwconv_pallas: Any = None
+    fused_mlp: Any = None
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -118,6 +180,7 @@ class ConvNeXt(nn.Module):
                     dim=self.dims[stage], drop_path_rate=dp, dtype=self.dtype,
                     gelu_approximate=self.gelu_approximate,
                     dwconv_pallas=self.dwconv_pallas,
+                    fused_mlp=self.fused_mlp,
                     name=f"stage{stage}_block{blk}",
                 )(x, train=train)
                 block_idx += 1
