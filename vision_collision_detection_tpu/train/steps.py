@@ -50,14 +50,20 @@ def load_pretrained_backbone(variables: dict, npz_path: str) -> dict:
     loaded = load_npz(npz_path)
     variables = flax.core.unfreeze(variables)
     target_p = variables["params"]["backbone"]
-    variables["params"]["backbone"] = flax.serialization.from_state_dict(
-        target_p, loaded["params"]
-    )
+
+    def _restore(target, state):
+        # cast to the init dtype: converted artifacts may be stored
+        # half-precision on disk (e.g. the committed fp16 fixture in
+        # tests/fixtures/pretrained/) while params train in f32
+        restored = flax.serialization.from_state_dict(target, state)
+        return jax.tree_util.tree_map(
+            lambda new, tgt: jnp.asarray(new, tgt.dtype), restored, target)
+
+    variables["params"]["backbone"] = _restore(target_p, loaded["params"])
     if loaded.get("batch_stats"):
         bs = variables.setdefault("batch_stats", {})
-        bs["backbone"] = flax.serialization.from_state_dict(
-            bs.get("backbone", {}), loaded["batch_stats"]
-        )
+        bs["backbone"] = _restore(bs.get("backbone", {}),
+                                  loaded["batch_stats"])
     return variables
 
 
