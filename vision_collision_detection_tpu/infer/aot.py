@@ -51,11 +51,17 @@ def _forward_shape(cfg, content_box: Optional[Tuple[int, int]]):
 def export_bundle(
     predictor,
     out_dir: str,
-    batch_sizes: Sequence[int] = (1, 8),
+    batch_sizes: Sequence[int] = (1, 8, 32),
     content_box: Optional[Tuple[int, int]] = None,
     platforms: Optional[Sequence[str]] = None,
 ) -> dict:
     """Export ``predictor``'s serving forward into ``out_dir``.
+
+    Default buckets include 32: the round-5 eval-batch sweep
+    (PROFILE_r05.json) measured 167 / 195.5 / 203.5 device clips/s at
+    B=16/32/64 on the flagship — device-bound serving should batch ≥32
+    (the marginal win from 64 is 4% for 2x the latency; 32 is the
+    default sweet spot).
 
     platforms: lowering targets (e.g. ``("tpu", "cpu")``); defaults to the
     current default backend, so a CPU dev box can cross-export for TPU

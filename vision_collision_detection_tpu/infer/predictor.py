@@ -154,7 +154,7 @@ class CollisionPredictor:
         return (min(nh + nh % 2, self.cfg.data.frame_size),
                 min(nw + nw % 2, self.cfg.data.frame_size))
 
-    def export_serving(self, out_dir: str, batch_sizes=(1, 8),
+    def export_serving(self, out_dir: str, batch_sizes=(1, 8, 32),
                        content_box=None, platforms=None) -> dict:
         """AOT-export this predictor's serving forward into a
         ``ServingBundle`` directory (see ``infer/aot.py``): StableHLO with
