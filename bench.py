@@ -242,7 +242,8 @@ def make_dataset(paths, repeats: int = 1, fast_resize: bool = False):
 
     fast_resize: planar-YUV fast decode (the HEADLINE pipeline since round
     4; AUC-parity evidence vs the torch reference transform is committed in
-    PARITY_FAST_r04.json). The exact path is still benched as an
+    PARITY_FAST_r04.json and, on H.264 B-frame fixtures with a
+    non-saturated mid-range-AUC leg, PARITY_FAST_r05.json). The exact path is still benched as an
     interleaved diagnostic leg."""
     from vision_collision_detection_tpu.data.datasets import ClipDataset, ClipRecord
     from vision_collision_detection_tpu.ops.letterbox import letterbox_geometry
@@ -639,7 +640,7 @@ def _run_full_bench(t_start: float) -> None:
     # headline legs: interleaved trials (abcde abcde ...) so host load drift
     # hits the decode ceiling, the numerator, the exact-path diagnostic leg,
     # and both baseline variants equally. Headline pipeline = planar-YUV
-    # fast decode (AUC parity vs the torch reference: PARITY_FAST_r04.json);
+    # fast decode (AUC parity vs the torch reference: PARITY_FAST_r04/r05.json);
     # decode ceiling measured on the SAME mode; the exact path recorded as
     # the interleaved A/B diagnostic.
     decode_one = setup_decode_only(ds, warm_fast)
@@ -738,7 +739,7 @@ def _run_full_bench(t_start: float) -> None:
             "e2e_trials": [round(r, 3) for r in e2e_trials],
             "e2e_spread": spread(e2e_trials),
             "fast_resize": True,
-            "fast_resize_parity_artifact": "PARITY_FAST_r04.json",
+            "fast_resize_parity_artifact": "PARITY_FAST_r05.json",
             "e2e_exact_resize_clips_per_s": round(e2e_exact_med, 3),
             "e2e_exact_resize_trials": [round(r, 3)
                                         for r in e2e_exact_trials],
