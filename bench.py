@@ -323,8 +323,12 @@ def setup_decode_only(ds, warm_ds):
 
 
 def bench_device_only(forward, ds) -> tuple:
-    """Chip capability: forward over resident device batches (no host feed)."""
+    """Chip capability: forward over resident device batches (no host feed).
+    Measures B=16 (the e2e pipeline batch) and B=32 (the serving default
+    adopted from the round-5 eval-batch sweep, PROFILE_r05.json — the
+    larger bucket buys ~17% on-chip at these shapes)."""
     import jax
+    import jax.numpy as jnp
 
     from vision_collision_detection_tpu.data.loader import ClipLoader
 
@@ -333,16 +337,21 @@ def bench_device_only(forward, ds) -> tuple:
     dev = jax.device_put(batch["frames"])
     forward(dev).block_until_ready()  # compile
 
-    def one():
-        reps = 8
+    def timed(batch_dev, reps=8):
         t0 = time.perf_counter()
         out = None
         for _ in range(reps):
-            out = forward(dev)
+            out = forward(batch_dev)
         out.block_until_ready()
-        return reps * dev.shape[0] / (time.perf_counter() - t0)
+        return reps * batch_dev.shape[0] / (time.perf_counter() - t0)
 
-    return _median_trials(one, label="device-only")
+    med, trials = _median_trials(lambda: timed(dev), label="device-only")
+
+    dev32 = jnp.concatenate([dev, dev], axis=0)
+    forward(dev32).block_until_ready()  # compile serving bucket
+    med32, trials32 = _median_trials(lambda: timed(dev32),
+                                     label="device-only-b32")
+    return med, trials, med32, trials32
 
 
 def setup_tpu_pipeline(ds, warm_ds, forward):
@@ -635,7 +644,8 @@ def _run_full_bench(t_start: float) -> None:
     warm_fast = make_dataset(paths, fast_resize=True)
     ds = make_dataset(paths, repeats=PASSES, fast_resize=True)
 
-    device_med, device_trials = bench_device_only(forward, warm_ds)
+    device_med, device_trials, device32_med, device32_trials = \
+        bench_device_only(forward, warm_ds)
 
     # headline legs: interleaved trials (abcde abcde ...) so host load drift
     # hits the decode ceiling, the numerator, the exact-path diagnostic leg,
@@ -736,6 +746,9 @@ def _run_full_bench(t_start: float) -> None:
             "decode_trials": [round(r, 3) for r in decode_trials],
             "device_only_clips_per_s": round(device_med, 3),
             "device_trials": [round(r, 3) for r in device_trials],
+            "device_only_b32_clips_per_s": round(device32_med, 3),
+            "device_only_b32_trials": [round(r, 3)
+                                       for r in device32_trials],
             "e2e_trials": [round(r, 3) for r in e2e_trials],
             "e2e_spread": spread(e2e_trials),
             "fast_resize": True,
