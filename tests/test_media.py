@@ -217,6 +217,32 @@ class TestBFrameStreams:
         np.testing.assert_array_equal(on, full[idx])
 
 
+def test_flag2_fast_bitexact(ramp_video, bframe_video):
+    """AV_CODEC_FLAG2_FAST must be bit-exact on both fixture families
+    (mpeg4 ramp, H.264 with B-frames) before it can ever be adopted as a
+    default. The flag allows non-spec-compliant codec shortcuts; for these
+    codecs ffmpeg's fast path only relaxes error concealment, so clean
+    streams must decode identically. This pins that invariant — if an
+    ffmpeg upgrade changes it, this fails rather than silently corrupting
+    frames."""
+    from vision_collision_detection_tpu.media.decoder import (
+        get_fast_decode,
+        set_fast_decode,
+    )
+
+    assert not get_fast_decode()  # ships off by default
+    for path, n in [(ramp_video[0], ramp_video[1]), bframe_video]:
+        idx = list(range(n))
+        try:
+            set_fast_decode(False)
+            off = decode_frames(path, idx)
+            set_fast_decode(True)
+            on = decode_frames(path, idx)
+        finally:
+            set_fast_decode(False)
+        np.testing.assert_array_equal(on, off)
+
+
 class TestSampler:
     def test_center(self):
         idx = sample_clip_indices("center", 150, 50)

@@ -92,6 +92,14 @@ std::atomic<int> g_skip_unneeded{1};
 // modes never race on it. The setter remains as a test/diagnostic hook.
 std::atomic<int> g_fast_resize{0};
 
+// AV_CODEC_FLAG2_FAST (default off): lets the codec use non-spec-compliant
+// speedup tricks. Exposed as an opt-in A/B knob (round-4 review suggestion);
+// it is adopted only where the repo's bit-exactness tests pass with it on —
+// tests/test_media.py::test_flag2_fast_bitexact compares full decodes with
+// the flag on vs off on both the mpeg4 and H.264-with-B-frames fixture
+// families. Applies at Reader::open, so it affects newly opened clips only.
+std::atomic<int> g_fast_decode{0};
+
 inline long long now_ns() {
   struct timespec ts;
   clock_gettime(CLOCK_MONOTONIC, &ts);
@@ -155,6 +163,16 @@ void vcd_set_fast_resize(int on) {
 
 int vcd_get_fast_resize() {
   return g_fast_resize.load(std::memory_order_relaxed);
+}
+
+// Toggle AV_CODEC_FLAG2_FAST on subsequently opened decoders (see
+// g_fast_decode above). A/B + bit-exactness hook, default off.
+void vcd_set_fast_decode(int on) {
+  g_fast_decode.store(on ? 1 : 0, std::memory_order_relaxed);
+}
+
+int vcd_get_fast_decode() {
+  return g_fast_decode.load(std::memory_order_relaxed);
 }
 
 // libav log verbosity (AV_LOG_QUIET=-8 .. AV_LOG_DEBUG=48). The Python
@@ -225,6 +243,8 @@ struct Reader {
       return false;
     }
     dec->thread_count = 0;  // auto frame/slice threading
+    if (g_fast_decode.load(std::memory_order_relaxed))
+      dec->flags2 |= AV_CODEC_FLAG2_FAST;
     if ((ret = avcodec_open2(dec, codec, nullptr)) < 0) {
       set_error("codec open failed: " + av_err(ret));
       return false;

@@ -97,6 +97,8 @@ def _get_lib():
                 lib.vcd_set_skip_unneeded.argtypes = [ctypes.c_int]
                 lib.vcd_set_fast_resize.argtypes = [ctypes.c_int]
                 lib.vcd_get_fast_resize.restype = ctypes.c_int
+                lib.vcd_set_fast_decode.argtypes = [ctypes.c_int]
+                lib.vcd_get_fast_decode.restype = ctypes.c_int
                 lib.vcd_encode_append.argtypes = [
                     ctypes.c_void_p, ctypes.POINTER(ctypes.c_ubyte),
                     ctypes.c_long,
@@ -313,6 +315,20 @@ def set_fast_resize(on: bool) -> None:
 
 def get_fast_resize() -> bool:
     return bool(_get_lib().vcd_get_fast_resize())
+
+
+def set_fast_decode(on: bool) -> None:
+    """Toggle ``AV_CODEC_FLAG2_FAST`` on subsequently opened decoders (off
+    by default). The flag permits non-spec-compliant codec speedups; it is
+    an A/B knob (round-4 review suggestion) adopted only where the fixture
+    families decode bit-identically with it on — pinned by
+    tests/test_media.py::test_flag2_fast_bitexact. Applies per decoder
+    open, so in-flight decodes are unaffected."""
+    _get_lib().vcd_set_fast_decode(1 if on else 0)
+
+
+def get_fast_decode() -> bool:
+    return bool(_get_lib().vcd_get_fast_decode())
 
 
 def encode_video(path: str, frames: np.ndarray, fps: float = 10.0,
