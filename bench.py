@@ -234,7 +234,8 @@ def ensure_fixtures(h264: bool = False) -> list:
     return paths
 
 
-def make_dataset(paths, repeats: int = 1, fast_resize: bool = False):
+def make_dataset(paths, repeats: int = 1, fast_resize: bool = False,
+                 lowres: int = 0):
     """repeats>1 replays the fixture set so throughput legs measure one
     CONTINUOUS loader stream (steady-state pipelining) instead of restarting
     the prefetch producer every 2-batch pass — the restart hole was ~15% of
@@ -244,7 +245,11 @@ def make_dataset(paths, repeats: int = 1, fast_resize: bool = False):
     4; AUC-parity evidence vs the torch reference transform is committed in
     PARITY_FAST_r04.json and, on H.264 B-frame fixtures with a
     non-saturated mid-range-AUC leg, PARITY_FAST_r05.json). The exact path is still benched as an
-    interleaved diagnostic leg."""
+    interleaved diagnostic leg.
+
+    lowres: reduced-resolution decode at 1/2^k size (mpeg4-family codecs;
+    inert on H.264). AUC-parity evidence vs the torch reference transform:
+    PARITY_LOWRES_r05.json."""
     from vision_collision_detection_tpu.data.datasets import ClipDataset, ClipRecord
     from vision_collision_detection_tpu.ops.letterbox import letterbox_geometry
 
@@ -256,7 +261,7 @@ def make_dataset(paths, repeats: int = 1, fast_resize: bool = False):
     return ClipDataset(records, fps=CLIP_FPS, duration=CLIP_FRAMES // CLIP_FPS,
                        frame_size=FRAME_SIZE, sample_strategy="center",
                        frame_stride=2, content_box=content,
-                       fast_resize=fast_resize)
+                       fast_resize=fast_resize, lowres_decode=lowres)
 
 
 def build_forward():

@@ -144,7 +144,7 @@ def run_parity(backbone="resnet18", temporal_mode="gru", clips_per_class=6,
                workdir="/tmp/vcd_parity", checkpoint="", height=360,
                width=640, batch_size=4, num_workers=2,
                sample_strategy="center", video_duration=None,
-               fast_resize=False, codec="mpeg4", hard=False):
+               fast_resize=False, lowres=0, codec="mpeg4", hard=False):
     """Build (or load) a reference-architecture torch model, run both
     pipelines on shared weights, return the parity record dict.
 
@@ -260,6 +260,11 @@ def run_parity(backbone="resnet18", temporal_mode="gru", clips_per_class=6,
         # reference contract (the ±0.002 budget), not against our exact
         # path.
         "data.fast_resize": bool(fast_resize),
+        # --lowres k: OUR side decodes mpeg4-family sources at 1/2^k size
+        # (data.lowres_decode); the torch side stays on the exact full-res
+        # reference transform, so the AUC delta prices the reduced-res
+        # decode against the reference contract.
+        "data.lowres_decode": int(lowres),
     })
     results = pred.predict(
         paths, sample_strategy=sample_strategy, batch_size=batch_size,
@@ -294,6 +299,7 @@ def run_parity(backbone="resnet18", temporal_mode="gru", clips_per_class=6,
         "model": f"{backbone_name}+{mode}",
         "sample_strategy": sample_strategy,
         "fast_resize": bool(fast_resize),
+        "lowres_decode": int(lowres),
         "codec": codec,
         "hard_clips": bool(hard),
         "n_clips": len(paths),
@@ -385,6 +391,10 @@ def main() -> int:
     ap.add_argument("--fast-resize", action="store_true",
                     help="run our pipeline with the planar-YUV fast decode "
                          "path (data.fast_resize); torch side stays exact")
+    ap.add_argument("--lowres", type=int, default=0,
+                    help="run our pipeline with reduced-resolution decode "
+                         "(data.lowres_decode, 0..3); torch side stays "
+                         "full-res exact")
     ap.add_argument("--codec", default="mpeg4", choices=["mpeg4", "h264"],
                     help="h264 = libx264 with disposable B-frames (the "
                          "dashcam stream family; exercises non-ref skip)")
@@ -406,7 +416,7 @@ def main() -> int:
             checkpoint=args.checkpoint,
             sample_strategy=args.sample_strategy,
             video_duration=args.video_duration,
-            fast_resize=args.fast_resize,
+            fast_resize=args.fast_resize, lowres=args.lowres,
             codec=args.codec, hard=args.hard,
         )
     with open(args.output, "w") as f:

@@ -59,3 +59,19 @@ def test_validate_accepts_both_attention_impls():
         cfg = ExperimentConfig()
         cfg.model.attention_impl = impl
         cfg.validate()
+
+
+def test_validate_rejects_out_of_range_lowres_decode():
+    from vision_collision_detection_tpu.config import ExperimentConfig
+
+    import pytest
+
+    for bad in (-1, 4, 7):
+        cfg = ExperimentConfig()
+        cfg.data.lowres_decode = bad
+        with pytest.raises(ValueError, match="lowres_decode"):
+            cfg.validate()
+    for ok in (0, 1, 2, 3):
+        cfg = ExperimentConfig()
+        cfg.data.lowres_decode = ok
+        cfg.validate()

@@ -527,3 +527,152 @@ class TestFastResize:
         for i, r in enumerate(results):
             expected = fast if (i % 2 == 0) else exact
             np.testing.assert_array_equal(r, expected)
+
+
+class TestLowresDecode:
+    """Reduced-resolution decode (data.lowres_decode / decode lowres=k):
+    libavcodec decodes mpeg4-family streams directly at 1/2^k size. Pins the
+    accuracy envelope on supported codecs and the two clamp behaviors —
+    unsupported codecs (H.264) and too-small sources must be BIT-identical
+    full-res decodes, never a silent quality cliff."""
+
+    @pytest.fixture(scope="class")
+    def smooth_video(self, tmp_path_factory):
+        """640x480 clip with smooth low-frequency content — what survives
+        a DCT-domain downscale; dashcam footage is closer to this than to
+        white noise."""
+        path = str(tmp_path_factory.mktemp("lowres") / "smooth.mp4")
+        n, h, w = 12, 480, 640
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        frames = np.zeros((n, h, w, 3), np.uint8)
+        for t in range(n):
+            r = 128 + 100 * np.sin(2 * np.pi * (xx / 200 + t * 0.05))
+            g = 128 + 100 * np.sin(2 * np.pi * (yy / 150 - t * 0.03))
+            b = 128 + 100 * np.sin(2 * np.pi * ((xx + yy) / 300))
+            frames[t] = np.stack([r, g, b], -1).clip(0, 255).astype(np.uint8)
+        encode_video(path, frames, fps=10)
+        return path
+
+    def test_close_to_full_res(self, smooth_video):
+        idx = list(range(0, 12, 2))
+        full = decode_frames(smooth_video, idx, target_size=112,
+                             letterbox=True, lowres=0)
+        half = decode_frames(smooth_video, idx, target_size=112,
+                             letterbox=True, lowres=1)
+        assert half.shape == full.shape
+        d = np.abs(full.astype(np.int16) - half.astype(np.int16))
+        # DCT-crop low-pass vs AA triangle filter: measured max ~20/255,
+        # mean ~1.2/255 on smooth 720p content; bound with headroom.
+        assert int(d.max()) <= 48, int(d.max())
+        assert float(d.mean()) < 4.0, float(d.mean())
+        # letterbox bars identical (640x480 → content 112x84, pad 14)
+        assert (half[:, :14] == full[:, :14]).all()
+
+    def test_composes_with_fast_resize(self, smooth_video):
+        idx = list(range(0, 12, 2))
+        full = decode_frames(smooth_video, idx, target_size=112,
+                             letterbox=True)
+        combo = decode_frames(smooth_video, idx, target_size=112,
+                              letterbox=True, fast_resize=True, lowres=1)
+        d = np.abs(full.astype(np.int16) - combo.astype(np.int16))
+        assert int(d.max()) <= 48, int(d.max())
+        assert float(d.mean()) < 4.0, float(d.mean())
+
+    def test_unsupported_codec_falls_back_bitexact(self, bframe_video):
+        """H.264 has max_lowres=0: any requested level must decode
+        bit-identically to a full-res decode (transparent fallback)."""
+        path, n = bframe_video
+        idx = list(range(0, n, 7))
+        full = decode_frames(path, idx, target_size=64, letterbox=True,
+                             lowres=0)
+        for k in (1, 2, 3):
+            req = decode_frames(path, idx, target_size=64, letterbox=True,
+                                lowres=k)
+            np.testing.assert_array_equal(req, full)
+
+    def test_clamps_to_cover_content_box(self, ramp_video):
+        """160x120 source into a 96px canvas: content is 96x72, and
+        160>>1 = 80 < 96 would force an upscale — so the level must clamp
+        to 0 and the output must be BIT-identical to full-res."""
+        path, *_ = ramp_video
+        idx = [0, 10, 20]
+        full = decode_frames(path, idx, target_size=96, letterbox=True,
+                             lowres=0)
+        clamped = decode_frames(path, idx, target_size=96, letterbox=True,
+                                lowres=3)
+        np.testing.assert_array_equal(clamped, full)
+
+    def test_batch_matches_single(self, smooth_video):
+        from vision_collision_detection_tpu.media.decoder import decode_batch
+
+        idx = np.array([[0, 2, 4, 6], [1, 3, 5, 7]], np.int64)
+        single = np.stack([
+            decode_frames(smooth_video, row, target_size=112, letterbox=True,
+                          lowres=1)
+            for row in idx
+        ])
+        batch, ok = decode_batch([smooth_video] * 2, idx, 112,
+                                 letterbox=True, lowres=1)
+        assert ok.all()
+        np.testing.assert_array_equal(batch, single)
+
+    def test_per_call_does_not_leak_to_global(self, smooth_video):
+        from vision_collision_detection_tpu.media.decoder import (
+            get_lowres,
+            set_lowres,
+        )
+
+        set_lowres(0)
+        idx = list(range(0, 12, 2))
+        half = decode_frames(smooth_video, idx, target_size=112,
+                             letterbox=True, lowres=1)
+        assert get_lowres() == 0  # per-call level must not touch the global
+        default_after = decode_frames(smooth_video, idx, target_size=112,
+                                      letterbox=True)
+        full = decode_frames(smooth_video, idx, target_size=112,
+                             letterbox=True, lowres=0)
+        np.testing.assert_array_equal(default_after, full)
+        assert np.abs(full.astype(np.int16)
+                      - half.astype(np.int16)).max() > 0
+
+    def test_global_default_honored_when_none(self, smooth_video):
+        from vision_collision_detection_tpu.media.decoder import set_lowres
+
+        idx = list(range(0, 12, 2))
+        half = decode_frames(smooth_video, idx, target_size=112,
+                             letterbox=True, lowres=1)
+        set_lowres(1)
+        try:
+            via_global = decode_frames(smooth_video, idx, target_size=112,
+                                       letterbox=True)
+        finally:
+            set_lowres(0)
+        np.testing.assert_array_equal(via_global, half)
+
+    def test_dataset_plumbs_lowres(self, tmp_path):
+        """ClipDataset(lowres_decode=1) batches stay close to the full-res
+        dataset's batches (native batch decode path)."""
+        import pandas as pd
+
+        from vision_collision_detection_tpu.data.datasets import (
+            ClipDataset,
+            ClipRecord,
+        )
+
+        csv = generate_dataset(str(tmp_path / "ds"), clips_per_class=1,
+                               num_frames=10, height=360, width=640)
+        df = pd.read_csv(csv)
+        records = [
+            ClipRecord(video_id=str(r.id), video_path=r.video_path, label=0)
+            for r in df.itertuples()
+        ]
+        kw = dict(fps=5, duration=1, frame_size=96)
+        full_ds = ClipDataset(records, lowres_decode=0, **kw)
+        half_ds = ClipDataset(records, lowres_decode=1, **kw)
+        bf = full_ds.get_batch(range(len(records)))
+        bh = half_ds.get_batch(range(len(records)))
+        assert not bf["error"].any() and not bh["error"].any()
+        d = np.abs(bf["frames"].astype(np.int16)
+                   - bh["frames"].astype(np.int16))
+        assert int(d.max()) <= 48
+        assert float(d.mean()) < 4.0

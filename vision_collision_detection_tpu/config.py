@@ -74,6 +74,15 @@ class DataConfig:
     # parity pinned by scripts/parity_harness.py --fast-resize). Off by
     # default: the exact path remains the reference-parity contract.
     fast_resize: bool = False
+    # Reduced-resolution decode at 1/2^k size (0 = full res, the default).
+    # libavcodec decodes mpeg4/mjpeg/mpeg2 directly at reduced size (DCT
+    # crop) — ~1.8x cheaper decode at k=1 for 720p sources; H.264 falls
+    # back to full-res transparently, and the level is clamped per clip so
+    # the decoded frame still covers the letterbox content box. NOT
+    # bit-exact vs full-res decode (AUC parity pinned by
+    # scripts/parity_harness.py --lowres). Off by default: the exact path
+    # remains the reference-parity contract.
+    lowres_decode: int = 0
 
     @property
     def num_frames(self) -> int:
@@ -315,6 +324,13 @@ class ExperimentConfig:
             raise ValueError(
                 f"attention_impl {self.model.attention_impl!r} not in "
                 "('xla', 'flash')"
+            )
+        if not 0 <= int(self.data.lowres_decode) <= 3:
+            # libavcodec's max_lowres is 3 (1/8 size); a silent out-of-range
+            # value would be clamped in C and look like a no-op.
+            raise ValueError(
+                f"data.lowres_decode {self.data.lowres_decode!r} must be "
+                "an int in 0..3"
             )
         if self.augment.affine_mode == "separable":
             # The two-pass matmul warp factors through 1/m11 ∝

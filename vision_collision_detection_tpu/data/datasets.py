@@ -68,6 +68,7 @@ class ClipDataset:
         frame_stride: int = 1,
         content_box: Optional[tuple] = None,
         fast_resize: bool = False,
+        lowres_decode: int = 0,
     ):
         """frame_stride k: decode every k-th frame of the sampled window
         (folding the model's frame subsample — nexar_arch.py:412-415 — into
@@ -81,7 +82,13 @@ class ClipDataset:
 
         fast_resize: planar-YUV fast resize in the decoder (~35% cheaper
         per decoded clip; not bit-exact vs torchvision's resize — see
-        media.decoder.set_fast_resize for the bound and parity evidence)."""
+        media.decoder.set_fast_resize for the bound and parity evidence).
+
+        lowres_decode k: reduced-resolution decode at 1/2^k size for codecs
+        that support it (mpeg4/mjpeg/mpeg2; H.264 transparently falls back
+        to full-res). Clamped per clip so the decoded frame still covers
+        the letterbox content box. Not bit-exact vs full-res decode — see
+        media.decoder.set_lowres for the accuracy/parity evidence."""
         self.records = list(records)
         self.fps = fps
         self.duration = duration
@@ -95,6 +102,7 @@ class ClipDataset:
         self.frame_stride = max(1, int(frame_stride))
         self.content_box = tuple(content_box) if content_box else None
         self.fast_resize = bool(fast_resize)
+        self.lowres_decode = int(lowres_decode)
         self._probe_cache: Dict[str, tuple] = {}
 
     @property
@@ -142,6 +150,7 @@ class ClipDataset:
                 rec.video_path, indices,
                 target_size=(self.content_box or self.frame_size),
                 letterbox=True, fast_resize=self.fast_resize,
+                lowres=self.lowres_decode,
             )
             if self.load_sensor:
                 full = load_synced_sensor(rec.sensor_path, vfps, num_frames)
@@ -212,7 +221,7 @@ class ClipDataset:
         frames, decode_ok = decode_batch(
             paths, windows, self.content_box or self.frame_size,
             letterbox=True, num_threads=num_threads,
-            fast_resize=self.fast_resize,
+            fast_resize=self.fast_resize, lowres=self.lowres_decode,
         )
         ok = probe_ok & decode_ok
         if not ok.all():

@@ -302,6 +302,7 @@ class CollisionPredictor:
             frame_size=dc.frame_size, sample_strategy=sample_strategy,
             class_names=self.class_names, frame_stride=stride,
             content_box=content_box, fast_resize=dc.fast_resize,
+            lowres_decode=dc.lowres_decode,
         )
         loader = ClipLoader(ds, batch_size, num_workers=num_workers)
         forward = self._make_forward(stride > 1)
@@ -415,6 +416,7 @@ class CollisionPredictor:
         decoded = decode_frames(
             video_path, flat, target_size=dc.frame_size, letterbox=True,
             fast_resize=dc.fast_resize,
+            lowres=dc.lowres_decode,
         )
         pos = {int(f): i for i, f in enumerate(flat)}
         win_idx = np.asarray([[pos[int(i)] for i in idx]

@@ -100,6 +100,22 @@ std::atomic<int> g_fast_resize{0};
 // families. Applies at Reader::open, so it affects newly opened clips only.
 std::atomic<int> g_fast_decode{0};
 
+// Reduced-resolution decode (default 0 = full resolution). libavcodec's
+// `lowres` decodes mpeg4/mjpeg/mpeg2 streams directly at 1/2^k size (the
+// IDCT runs on the top-left coefficient block), cutting the dominant
+// libavcodec share of per-clip decode cost when the model input is far
+// below source resolution anyway (720p → 224px). The requested level is a
+// MAXIMUM: Reader::open clamps it per clip to (a) the codec's max_lowres
+// (0 for H.264 → transparent full-res fallback) and (b) the largest level
+// whose decoded frame still covers the letterbox content box, so the AA
+// resampler always DOWNsamples — reduced-res decode never introduces
+// upscaling. Output is NOT bit-exact vs full-res decode+resize (the DCT
+// crop is a different low-pass than the AA triangle filter); the accuracy
+// envelope is pinned by tests/test_media.py and AUC parity by
+// scripts/parity_harness.py --lowres. This global is only the DEFAULT:
+// vcd_decode3/vcd_decode_batch3 take the level per call (lowres >= 0).
+std::atomic<int> g_lowres{0};
+
 inline long long now_ns() {
   struct timespec ts;
   clock_gettime(CLOCK_MONOTONIC, &ts);
@@ -175,6 +191,16 @@ int vcd_get_fast_decode() {
   return g_fast_decode.load(std::memory_order_relaxed);
 }
 
+// Process-global DEFAULT for reduced-resolution decode (see g_lowres above);
+// production callers pass the level per call into vcd_decode3/_batch3.
+void vcd_set_lowres(int level) {
+  g_lowres.store(level < 0 ? 0 : level, std::memory_order_relaxed);
+}
+
+int vcd_get_lowres() {
+  return g_lowres.load(std::memory_order_relaxed);
+}
+
 // libav log verbosity (AV_LOG_QUIET=-8 .. AV_LOG_DEBUG=48). The Python
 // loader defaults this to AV_LOG_ERROR so encoder info banners (x264
 // prints ~20 lines per open at AV_LOG_INFO) do not pollute bench/driver
@@ -202,6 +228,9 @@ void vcd_profile_get(long long* out, int n) {
 // ---------------------------------------------------------------------------
 namespace {
 
+void letterbox_geometry(int h, int w, int target_h, int target_w, int* new_h,
+                        int* new_w, int* pad_h, int* pad_w);
+
 struct Reader {
   AVFormatContext* fmt = nullptr;
   AVCodecContext* dec = nullptr;
@@ -209,13 +238,20 @@ struct Reader {
   AVStream* stream = nullptr;
   double fps = 0.0;
   bool cfr = false;  // constant-frame-rate sanity (gates pts→index tricks)
+  int lowres = 0;    // effective (post-clamp) reduced-resolution level
 
   ~Reader() {
     if (dec) avcodec_free_context(&dec);
     if (fmt) avformat_close_input(&fmt);
   }
 
-  bool open(const char* path) {
+  // lowres_req > 0 requests reduced-resolution decode; it is clamped to the
+  // codec's max_lowres (0 for H.264 → full-res) and, when the output
+  // geometry is given, to the largest level whose decoded frame still
+  // covers the letterbox content box computed from FULL-resolution dims —
+  // so the AA resample after a reduced-res decode always downsamples.
+  bool open(const char* path, int lowres_req = 0, int out_w = 0,
+            int out_h = 0, int want_letterbox = 0) {
     int ret = avformat_open_input(&fmt, path, nullptr, nullptr);
     if (ret < 0) {
       set_error("open_input failed for '" + std::string(path) + "': " + av_err(ret));
@@ -245,6 +281,18 @@ struct Reader {
     dec->thread_count = 0;  // auto frame/slice threading
     if (g_fast_decode.load(std::memory_order_relaxed))
       dec->flags2 |= AV_CODEC_FLAG2_FAST;
+    if (lowres_req > 0 && codec->max_lowres > 0) {
+      int lr = std::min(lowres_req, (int)codec->max_lowres);
+      const int cw = stream->codecpar->width, ch = stream->codecpar->height;
+      if (out_w > 0 && out_h > 0 && cw > 0 && ch > 0) {
+        int sc_h = out_h, sc_w = out_w, ph = 0, pw = 0;
+        if (want_letterbox)
+          letterbox_geometry(ch, cw, out_h, out_w, &sc_h, &sc_w, &ph, &pw);
+        while (lr > 0 && ((cw >> lr) < sc_w || (ch >> lr) < sc_h)) lr--;
+      }
+      dec->lowres = lr;
+      lowres = lr;  // frames (and dec->width/height post-open) are >> lr
+    }
     if ((ret = avcodec_open2(dec, codec, nullptr)) < 0) {
       set_error("codec open failed: " + av_err(ret));
       return false;
@@ -683,10 +731,12 @@ int vcd_probe(const char* path, VcdProbe* out) {
 // ---------------------------------------------------------------------------
 // fast_resize < 0 → use the process-global default (g_fast_resize);
 // 0/1 → per-call override, safe under concurrent decodes with different
-// modes (the global-toggle race was an advisor finding).
-long vcd_decode2(const char* path, const long* indices, long n_indices,
+// modes (the global-toggle race was an advisor finding). lowres < 0 → the
+// process-global default (g_lowres); >= 0 → per-call reduced-resolution
+// decode level, clamped per clip in Reader::open (see g_lowres).
+long vcd_decode3(const char* path, const long* indices, long n_indices,
                  int target_w, int target_h, int letterbox, int fast_resize,
-                 unsigned char* out) {
+                 int lowres, unsigned char* out) {
   if (n_indices <= 0) return 0;
   for (long i = 1; i < n_indices; i++) {
     if (indices[i] < indices[i - 1]) {
@@ -697,7 +747,9 @@ long vcd_decode2(const char* path, const long* indices, long n_indices,
   Reader r;
   {
     ProfScope po(4);
-    if (!r.open(path)) return -1;
+    const int lr =
+        lowres >= 0 ? lowres : g_lowres.load(std::memory_order_relaxed);
+    if (!r.open(path, lr, target_w, target_h, letterbox)) return -1;
   }
   if (r.fps <= 0) {
     set_error("stream has no frame rate");
@@ -1000,11 +1052,18 @@ long vcd_decode2(const char* path, const long* indices, long n_indices,
   return want_pos;
 }
 
+long vcd_decode2(const char* path, const long* indices, long n_indices,
+                 int target_w, int target_h, int letterbox, int fast_resize,
+                 unsigned char* out) {
+  return vcd_decode3(path, indices, n_indices, target_w, target_h, letterbox,
+                     fast_resize, /*lowres=*/-1, out);
+}
+
 long vcd_decode(const char* path, const long* indices, long n_indices,
                 int target_w, int target_h, int letterbox,
                 unsigned char* out) {
-  return vcd_decode2(path, indices, n_indices, target_w, target_h, letterbox,
-                     /*fast_resize=*/-1, out);
+  return vcd_decode3(path, indices, n_indices, target_w, target_h, letterbox,
+                     /*fast_resize=*/-1, /*lowres=*/-1, out);
 }
 
 // ---------------------------------------------------------------------------
@@ -1017,10 +1076,11 @@ long vcd_decode(const char* path, const long* indices, long n_indices,
 // /root/reference/nexar_videos.py:429-435); per-clip status lands in
 // frames_written (-1 on error → caller applies its zero-fallback).
 // ---------------------------------------------------------------------------
-long vcd_decode_batch2(const char** paths, long n_clips, const long* indices,
+long vcd_decode_batch3(const char** paths, long n_clips, const long* indices,
                        long n_per_clip, int target_w, int target_h,
-                       int letterbox, int fast_resize, int n_threads,
-                       unsigned char* out, long* frames_written) {
+                       int letterbox, int fast_resize, int lowres,
+                       int n_threads, unsigned char* out,
+                       long* frames_written) {
   if (n_clips <= 0 || n_per_clip <= 0) {
     set_error("empty batch");
     return -1;
@@ -1034,9 +1094,9 @@ long vcd_decode_batch2(const char** paths, long n_clips, const long* indices,
       long i = next.fetch_add(1);
       if (i >= n_clips) break;
       unsigned char* dst = out + (size_t)i * clip_bytes;
-      long got = vcd_decode2(paths[i], indices + (size_t)i * n_per_clip,
+      long got = vcd_decode3(paths[i], indices + (size_t)i * n_per_clip,
                              n_per_clip, target_w, target_h, letterbox,
-                             fast_resize, dst);
+                             fast_resize, lowres, dst);
       if (got <= 0) {
         std::memset(dst, 0, clip_bytes);
         frames_written[i] = -1;
@@ -1061,13 +1121,22 @@ long vcd_decode_batch2(const char** paths, long n_clips, const long* indices,
   return 0;
 }
 
+long vcd_decode_batch2(const char** paths, long n_clips, const long* indices,
+                       long n_per_clip, int target_w, int target_h,
+                       int letterbox, int fast_resize, int n_threads,
+                       unsigned char* out, long* frames_written) {
+  return vcd_decode_batch3(paths, n_clips, indices, n_per_clip, target_w,
+                           target_h, letterbox, fast_resize, /*lowres=*/-1,
+                           n_threads, out, frames_written);
+}
+
 long vcd_decode_batch(const char** paths, long n_clips, const long* indices,
                       long n_per_clip, int target_w, int target_h,
                       int letterbox, int n_threads, unsigned char* out,
                       long* frames_written) {
-  return vcd_decode_batch2(paths, n_clips, indices, n_per_clip, target_w,
+  return vcd_decode_batch3(paths, n_clips, indices, n_per_clip, target_w,
                            target_h, letterbox, /*fast_resize=*/-1,
-                           n_threads, out, frames_written);
+                           /*lowres=*/-1, n_threads, out, frames_written);
 }
 
 // ---------------------------------------------------------------------------

@@ -49,7 +49,7 @@ def _get_lib():
                 lib = ctypes.CDLL(ensure_built())
                 lib.vcd_probe.argtypes = [ctypes.c_char_p, ctypes.POINTER(_Probe)]
                 lib.vcd_probe.restype = ctypes.c_int
-                lib.vcd_decode2.argtypes = [
+                lib.vcd_decode3.argtypes = [
                     ctypes.c_char_p,
                     ctypes.POINTER(ctypes.c_long),
                     ctypes.c_long,
@@ -57,10 +57,11 @@ def _get_lib():
                     ctypes.c_int,
                     ctypes.c_int,
                     ctypes.c_int,  # fast_resize: -1 global / 0 / 1
+                    ctypes.c_int,  # lowres: -1 global / 0..3 (clamped in C)
                     ctypes.POINTER(ctypes.c_ubyte),
                 ]
-                lib.vcd_decode2.restype = ctypes.c_long
-                lib.vcd_decode_batch2.argtypes = [
+                lib.vcd_decode3.restype = ctypes.c_long
+                lib.vcd_decode_batch3.argtypes = [
                     ctypes.POINTER(ctypes.c_char_p),
                     ctypes.c_long,
                     ctypes.POINTER(ctypes.c_long),
@@ -69,11 +70,12 @@ def _get_lib():
                     ctypes.c_int,
                     ctypes.c_int,
                     ctypes.c_int,  # fast_resize: -1 global / 0 / 1
+                    ctypes.c_int,  # lowres: -1 global / 0..3 (clamped in C)
                     ctypes.c_int,
                     ctypes.POINTER(ctypes.c_ubyte),
                     ctypes.POINTER(ctypes.c_long),
                 ]
-                lib.vcd_decode_batch2.restype = ctypes.c_long
+                lib.vcd_decode_batch3.restype = ctypes.c_long
                 lib.vcd_encode.argtypes = [
                     ctypes.c_char_p,
                     ctypes.POINTER(ctypes.c_ubyte),
@@ -97,6 +99,8 @@ def _get_lib():
                 lib.vcd_set_skip_unneeded.argtypes = [ctypes.c_int]
                 lib.vcd_set_fast_resize.argtypes = [ctypes.c_int]
                 lib.vcd_get_fast_resize.restype = ctypes.c_int
+                lib.vcd_set_lowres.argtypes = [ctypes.c_int]
+                lib.vcd_get_lowres.restype = ctypes.c_int
                 lib.vcd_set_fast_decode.argtypes = [ctypes.c_int]
                 lib.vcd_get_fast_decode.restype = ctypes.c_int
                 lib.vcd_encode_append.argtypes = [
@@ -157,6 +161,7 @@ def decode_frames(
     letterbox: bool = True,
     pad_to_count: bool = True,
     fast_resize: bool | None = None,
+    lowres: int | None = None,
 ) -> np.ndarray:
     """Decode `indices` (ascending) → uint8 [len(indices), H, W, 3].
 
@@ -171,6 +176,12 @@ def decode_frames(
     ``fast_resize`` is passed PER CALL into the C library (None → the
     process-global default set by :func:`set_fast_resize`), so concurrent
     decodes with different modes are thread-safe — no global toggling.
+
+    ``lowres`` (None → process-global default, else 0..3) requests
+    reduced-resolution decode at 1/2^k size; the C side clamps it per clip
+    to the codec's capability (H.264 → 0, i.e. a transparent full-res
+    fallback) and so the decoded frame always still covers the letterbox
+    content box (the resample never upscales). See :func:`set_lowres`.
     """
     lib = _get_lib()
     idx = np.ascontiguousarray(np.asarray(indices, dtype=np.int64))
@@ -187,7 +198,7 @@ def decode_frames(
         h, w = info.height, info.width
         letterbox = False
     out = np.empty((n, h, w, 3), dtype=np.uint8)
-    got = lib.vcd_decode2(
+    got = lib.vcd_decode3(
         path.encode(),
         idx.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
         n,
@@ -195,6 +206,7 @@ def decode_frames(
         h if target_size is not None else 0,
         1 if letterbox else 0,
         -1 if fast_resize is None else (1 if fast_resize else 0),
+        -1 if lowres is None else int(lowres),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
     )
     if got < 0:
@@ -215,6 +227,7 @@ def decode_batch(
     letterbox: bool = True,
     num_threads: int = 0,
     fast_resize: bool | None = None,
+    lowres: int | None = None,
 ):
     """Decode a whole batch natively: the C++ thread pool fills one
     contiguous uint8 buffer with zero Python in the loop.
@@ -222,8 +235,8 @@ def decode_batch(
     indices: int64 [B, T] (ascending per row). target_size: int or (h, w).
     → (frames uint8 [B, T, h, w, 3], ok bool [B]); failed clips are zeroed
     with ok=False (the zero-fallback policy applied natively).
-    ``fast_resize`` is per-call (None → process-global default), thread-safe
-    under concurrent batches with different modes.
+    ``fast_resize`` and ``lowres`` are per-call (None → process-global
+    defaults), thread-safe under concurrent batches with different modes.
     """
     lib = _get_lib()
     idx = np.ascontiguousarray(np.asarray(indices, dtype=np.int64))
@@ -239,11 +252,12 @@ def decode_batch(
     out = np.empty((b, t, h, w, 3), dtype=np.uint8)
     written = np.empty((b,), dtype=np.int64)
     c_paths = (ctypes.c_char_p * b)(*[p.encode() for p in paths])
-    rc = lib.vcd_decode_batch2(
+    rc = lib.vcd_decode_batch3(
         c_paths, b,
         idx.ctypes.data_as(ctypes.POINTER(ctypes.c_long)), t,
         w, h, 1 if letterbox else 0,
         -1 if fast_resize is None else (1 if fast_resize else 0),
+        -1 if lowres is None else int(lowres),
         int(num_threads),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
         written.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
@@ -315,6 +329,31 @@ def set_fast_resize(on: bool) -> None:
 
 def get_fast_resize() -> bool:
     return bool(_get_lib().vcd_get_fast_resize())
+
+
+def set_lowres(level: int) -> None:
+    """Set the process-global DEFAULT reduced-resolution decode level (0 =
+    full resolution, the default). Kept as a test/diagnostic hook only —
+    production callers pass ``lowres`` per call into
+    decode_frames/decode_batch, which overrides this default and is
+    thread-safe under concurrent decodes with different levels.
+
+    Level k asks libavcodec to decode mpeg4/mjpeg/mpeg2 streams directly at
+    1/2^k resolution (the IDCT runs on a cropped coefficient block) — a
+    large cut to the dominant libavcodec share of decode cost when the
+    model input (224px) sits far below source resolution (720p+). The C
+    side clamps the level per clip to the codec's capability (H.264 → 0,
+    a transparent full-res fallback) and to the largest level whose decoded
+    frame still covers the letterbox content box, so the AA resample always
+    downsamples. NOT bit-exact vs full-res decode (the DCT-domain crop is a
+    different low-pass than the AA triangle filter); the accuracy envelope
+    is bounded by tests/test_media.py and AUC parity by
+    scripts/parity_harness.py --lowres."""
+    _get_lib().vcd_set_lowres(int(level))
+
+
+def get_lowres() -> int:
+    return int(_get_lib().vcd_get_lowres())
 
 
 def set_fast_decode(on: bool) -> None:

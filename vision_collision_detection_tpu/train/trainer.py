@@ -132,6 +132,10 @@ class Trainer:
             for ds in (train_ds, val_ds, test_ds):
                 if ds is not None:
                     ds.fast_resize = True
+        if dc.lowres_decode:
+            for ds in (train_ds, val_ds, test_ds):
+                if ds is not None:
+                    ds.lowres_decode = int(dc.lowres_decode)
         self.train_loader = ClipLoader(
             train_ds, per_host_batch, shuffle=True,
             drop_last=dc.drop_last_train, num_workers=dc.num_workers,
