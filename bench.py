@@ -251,7 +251,10 @@ def make_dataset(paths, repeats: int = 1, fast_resize: bool = False,
 
     lowres: reduced-resolution decode at 1/2^k size (mpeg4-family codecs;
     inert on H.264). AUC-parity evidence vs the torch reference transform:
-    PARITY_LOWRES_r05.json."""
+    PARITY_LOWRES_r05.json (solo lowres, delta 0.0014, within budget);
+    composed with fast_resize the delta grows to 0.0038 and misses the
+    ±0.002 budget (PARITY_FASTLOW_r05.json) — the bench leg that composes
+    both is a speed-ceiling diagnostic, not an adoptable config."""
     from vision_collision_detection_tpu.data.datasets import ClipDataset, ClipRecord
     from vision_collision_detection_tpu.ops.letterbox import letterbox_geometry
 
@@ -677,13 +680,17 @@ def _run_full_bench(t_start: float) -> None:
     e2e_lowres_one = None
     if run_lowres:
         # Reduced-resolution decode diagnostic leg: fast-resize + lowres=1
-        # (libavcodec decodes the mpeg4 fixtures at half size; AUC parity
-        # vs the full-res torch reference: PARITY_LOWRES_r05.json solo,
-        # PARITY_FASTLOW_r05.json composed with fast resize). Kept as a
-        # diagnostic, not the headline: the lever is structurally inert on
-        # H.264 (libavcodec max_lowres=0 there), the codec family real
-        # dashcams emit, so promoting it would tune the headline to the
-        # mpeg4 fixtures. repeats=2 bounds the leg's wall cost.
+        # (libavcodec decodes the mpeg4 fixtures at half size). Kept as a
+        # diagnostic, not the headline, for two measured reasons:
+        # (1) the lever is structurally inert on H.264 (libavcodec
+        #     max_lowres=0 there), the codec family real dashcams emit, so
+        #     promoting it would tune the headline to the mpeg4 fixtures;
+        # (2) parity: solo lowres is within the ±0.002 AUC budget
+        #     (PARITY_LOWRES_r05.json, delta 0.0014) but THIS composed
+        #     fast-resize+lowres config misses it (PARITY_FASTLOW_r05.json,
+        #     delta 0.0038 on 99 hard clips) — the leg measures the lever's
+        #     speed ceiling, not an adoptable config.
+        # repeats=2 bounds the leg's wall cost.
         warm_low = make_dataset(paths, fast_resize=True, lowres=1)
         ds_low = make_dataset(paths, repeats=2, fast_resize=True, lowres=1)
         e2e_lowres_one = setup_tpu_pipeline(ds_low, warm_low, forward)
@@ -790,7 +797,11 @@ def _run_full_bench(t_start: float) -> None:
                 "lowres_speedup_vs_headline": round(
                     statistics.median(e2e_lowres_trials) / e2e_med, 3)
                 if e2e_med > 0 else None,
-                "lowres_parity_artifact": "PARITY_LOWRES_r05.json"}
+                "lowres_parity_artifact": "PARITY_LOWRES_r05.json",
+                "lowres_composed_parity_artifact":
+                    "PARITY_FASTLOW_r05.json (delta 0.0038, OUT of the "
+                    "±0.002 budget — leg is a speed ceiling, not an "
+                    "adoptable config)"}
                if e2e_lowres_trials else {}),
             "baseline_clips_per_s": round(base_med, 3),
             "baseline_variant_used": "B=8" if base_b8_med >= base_b1_med
